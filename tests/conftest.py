@@ -1,0 +1,20 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the JAX-native fake backend for exercising DP/pjit sharding without a
+TPU pod (SURVEY §4).  Must run before any ``import jax`` in the test session.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
