@@ -1,0 +1,161 @@
+"""Batched KV-cached greedy decoding for the seq2seq family.
+
+The reference decodes one utterance at a time with an outer batch while_loop
+and re-runs the FULL decoder over the whole prefix every step with no KV
+cache (moonshine/model.py:120-229) — O(B · U² · decoder).  Here the whole
+batch advances together through ONE ``lax.while_loop`` whose body is a single
+cached decoder step — O(U · decoder) with all matmuls batched on the MXU.
+
+Decode semantics preserved (moonshine/model.py:165-234):
+* start from ``[BOS]``; per step take argmax over the vocab;
+* a sequence finishes when it emits EOS (the EOS itself is kept — decoding
+  strips specials);
+* generated PAD tokens are excluded from subsequent self-attention keys (the
+  reference rebuilds ``text_mask = input != pad`` each step, :189);
+* the default length cap is ``duration_seconds * 24`` tokens computed from
+  the BATCH's padded frame count (:233-234 — one shared cap per batch);
+* ``parity_unmasked_cross=True`` reproduces the reference's quirk of passing
+  NO cross-attention mask during greedy decode (:192), letting queries attend
+  padded encoder positions; default is the corrected masked behavior.
+
+Early exit: the while_loop condition stops as soon as every sequence has
+finished, so short batches don't pay for the worst-case cap.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from telugu_asr_tpu.models.moonshine.decoder import decoder_init_cache, decoder_step
+from telugu_asr_tpu.models.moonshine.model import ASRModel
+
+__all__ = ["greedy_decode", "recognize", "default_max_length"]
+
+
+def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int = 400,
+                       sample_rate: int = 16000, tokens_per_second: float = 24.0) -> int:
+    """Reference length cap (moonshine/model.py:233-234)."""
+    duration = ((num_frames - 1) * frame_step + frame_length) / sample_rate
+    return int(duration * tokens_per_second)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model",
+        "max_length",
+        "bos_id",
+        "eos_id",
+        "pad_id",
+        "parity_unmasked_cross",
+    ),
+)
+def greedy_decode(
+    model: ASRModel,
+    params: dict,
+    encoder_out: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    *,
+    max_length: int,
+    bos_id: int = 0,
+    eos_id: int = 1,
+    pad_id: int = 2,
+    parity_unmasked_cross: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
+
+    ``tokens`` holds the generated sequence (EOS inclusive) padded with PAD,
+    exactly the layout ``_perform_greedy_batch`` stacks (:147-163).
+    """
+    cfg = model.cfg.decoder
+    batch = encoder_out.shape[0]
+    cross_mask = None if parity_unmasked_cross else encoder_mask
+    # +1: position 0 holds BOS; generated tokens live at 1..max_length.
+    cache = decoder_init_cache(params["decoder"], cfg, encoder_out, max_length + 1,
+                               dtype=encoder_out.dtype)
+
+    tokens0 = jnp.full((batch, max_length + 1), pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(bos_id)
+    finished0 = jnp.zeros((batch,), bool)
+
+    def cond(carry):
+        step, tokens, finished, cache = carry
+        return (step < max_length) & ~jnp.all(finished)
+
+    def body(carry):
+        step, tokens, finished, cache = carry
+        current = tokens[:, step]  # token to feed at position `step`
+        embedded = model.embed(params, current)[:, None, :]
+        # Keras masked-softmax subtlety (tf MHA _masked_softmax): a PAD query
+        # row is FULLY masked, and additive -1e9 on every entry is a no-op
+        # under softmax's shift invariance — so the reference's PAD queries
+        # attend the whole prefix, PAD keys included.  Reproduce by lifting
+        # the key-validity restriction when the current token is PAD.
+        key_valid = jnp.where(
+            (current == pad_id)[:, None], True, tokens != pad_id
+        )
+        dec_out, cache = decoder_step(
+            params["decoder"],
+            cfg,
+            embedded,
+            cache,
+            step,
+            key_valid_mask=key_valid,
+            encoder_mask=cross_mask,
+        )
+        logits = model.classify(params, dec_out)[:, 0, :]
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # Finished rows emit PAD from here on.
+        next_token = jnp.where(finished, pad_id, next_token)
+        tokens = tokens.at[:, step + 1].set(next_token)
+        finished = finished | (next_token == eos_id)
+        return step + 1, tokens, finished, cache
+
+    _, tokens, finished, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, finished0, cache)
+    )
+    generated = tokens[:, 1:]  # strip the BOS slot
+    # length = up to and including the first EOS; max_length if none emitted
+    is_eos = generated == eos_id
+    lengths = jnp.where(
+        jnp.any(is_eos, axis=-1),
+        jnp.argmax(is_eos, axis=-1) + 1,
+        max_length,
+    ).astype(jnp.int32)
+    return generated, lengths
+
+
+def recognize(
+    model: ASRModel,
+    params: dict,
+    features: jnp.ndarray,
+    feature_lengths: jnp.ndarray,
+    *,
+    model_max_length: Optional[int] = None,
+    tokens_per_second: float = 24.0,
+    bos_id: int = 0,
+    eos_id: int = 1,
+    pad_id: int = 2,
+    parity_unmasked_cross: bool = False,
+) -> jnp.ndarray:
+    """Featurized audio → token ids (reference ``recognize``, model.py:231-250)."""
+    if model_max_length is None:
+        model_max_length = default_max_length(
+            int(features.shape[1]), tokens_per_second=tokens_per_second
+        )
+    encoder_out, encoder_mask = model.encode(params, features, feature_lengths)
+    tokens, _ = greedy_decode(
+        model,
+        params,
+        encoder_out,
+        encoder_mask,
+        max_length=model_max_length,
+        bos_id=bos_id,
+        eos_id=eos_id,
+        pad_id=pad_id,
+        parity_unmasked_cross=parity_unmasked_cross,
+    )
+    return tokens

@@ -1,0 +1,129 @@
+"""Evaluation harness: batched recognition → reference-format TSV → WER/CER.
+
+Byte-compatible with the reference artifacts (exec_helpers.py:12-38,
+app_util.py:11-34): a ``PATH\tDURATION\tGROUNDTRUTH\tGREEDY`` file (header
+included) written in entry order, then WER/CER recomputed FROM THE FILE.
+Ground truth follows the reference's round-trip law — it is the decoded
+tokenization of the transcript (base_model.py:133-181 decodes
+``text_targets``), so characters outside the vocabulary fall out as ``[UNK]``
+drops on both sides of the metric.
+
+Decoding is batched over duration-bucketed batches with quantized padded
+shapes (one XLA program per bucket shape, compiled once and reused).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from telugu_asr_tpu.audio.featurizer import SpeechFeaturizer
+from telugu_asr_tpu.data.dataset import ASRDataset
+from telugu_asr_tpu.decode.greedy import default_max_length, greedy_decode
+from telugu_asr_tpu.metrics import ErrorRate, cer, wer
+from telugu_asr_tpu.models.moonshine.model import ASRModel
+
+logger = logging.getLogger("telugu_asr_tpu")
+
+__all__ = ["run_testing", "evaluate_results", "predict_batches"]
+
+
+def predict_batches(
+    model: ASRModel,
+    params: dict,
+    featurizer: SpeechFeaturizer,
+    dataset: ASRDataset,
+    batch_size: int,
+    *,
+    tokens_per_second: float = 24.0,
+    parity_unmasked_cross: bool = False,
+    max_length_quantum: int = 8,
+):
+    """Yield ``(entry_indices, hypothesis_texts, groundtruth_texts)`` per batch."""
+    tokenizer = dataset.tokenizer
+    for inputs, labels, indices in dataset.batches(batch_size):
+        features, feat_lengths = featurizer(inputs["audio"], inputs["audio_lengths"])
+        max_len = default_max_length(
+            int(features.shape[1]), tokens_per_second=tokens_per_second
+        )
+        # Quantize the decode cap so bucketed batches share compiled programs.
+        max_len = ((max_len + max_length_quantum - 1) // max_length_quantum) * max_length_quantum
+        encoder_out, encoder_mask = model.encode(params, features, feat_lengths)
+        tokens, _ = greedy_decode(
+            model,
+            params,
+            encoder_out,
+            encoder_mask,
+            max_length=max_len,
+            bos_id=tokenizer.bos_token_id,
+            eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id,
+            parity_unmasked_cross=parity_unmasked_cross,
+        )
+        hyp = tokenizer.batch_decode(np.asarray(tokens).tolist(), skip_special_tokens=True)
+        ref = tokenizer.batch_decode(
+            np.asarray(labels["text_targets"]).tolist(), skip_special_tokens=True
+        )
+        yield indices, hyp, ref
+
+
+def run_testing(
+    model: ASRModel,
+    params: dict,
+    featurizer: SpeechFeaturizer,
+    dataset: ASRDataset,
+    batch_size: int,
+    output: str,
+    *,
+    tokens_per_second: float = 24.0,
+    parity_unmasked_cross: bool = False,
+) -> Dict[str, float]:
+    """Predict the whole dataset, write the TSV artifact, return metrics."""
+    rows: dict = {}
+    start = time.perf_counter()
+    audio_seconds = 0.0
+    for indices, hyps, refs in predict_batches(
+        model,
+        params,
+        featurizer,
+        dataset,
+        batch_size,
+        tokens_per_second=tokens_per_second,
+        parity_unmasked_cross=parity_unmasked_cross,
+    ):
+        for i, hyp, ref in zip(indices, hyps, refs):
+            path, duration, _ = dataset.entries[i]
+            rows[int(i)] = (path, duration, ref, hyp)
+            audio_seconds += float(duration)
+    elapsed = time.perf_counter() - start
+
+    with open(output, "w", encoding="utf-8") as f:
+        f.write("PATH\tDURATION\tGROUNDTRUTH\tGREEDY\n")
+        for i in sorted(rows):
+            path, duration, ref, hyp = rows[i]
+            f.write(f"{path}\t{duration}\t{ref}\t{hyp}\n")
+
+    metrics = evaluate_results(output)
+    metrics["rtfx"] = audio_seconds / elapsed if elapsed > 0 else float("inf")
+    metrics["utterances_per_second"] = len(rows) / elapsed if elapsed > 0 else float("inf")
+    metrics["elapsed_seconds"] = elapsed
+    logger.info("run_testing: %s", metrics)
+    return metrics
+
+
+def evaluate_results(filepath: str) -> Dict[str, float]:
+    """Recompute WER/CER from a result TSV (app_util.py:11-34)."""
+    metrics = {
+        "greedy_wer": ErrorRate(wer, name="greedy_wer"),
+        "greedy_cer": ErrorRate(cer, name="greedy_cer"),
+    }
+    with open(filepath, "r", encoding="utf-8") as f:
+        lines = f.read().splitlines()[1:]
+    for line in lines:
+        _, _, groundtruth, greedy = line.split("\t")
+        metrics["greedy_wer"].update_state([greedy], [groundtruth])
+        metrics["greedy_cer"].update_state([greedy], [groundtruth])
+    return {name: m.result() for name, m in metrics.items()}

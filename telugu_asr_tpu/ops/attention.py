@@ -127,8 +127,9 @@ def mha_apply(
       q_positions / kv_positions: absolute positions for RoPE; default
         ``arange(T)``.
       cache: for incremental self-attention decode, ``{"k","v"}`` buffers of
-        shape ``[B, Tmax, H, Dh]`` written at ``cache_index``; for
-        cross-attention, precomputed ``{"k","v","static":True}``.
+        shape ``[B, Tmax, H, Dh]`` written at ``cache_index``; with
+        ``cache_index=None`` the cache is treated as precomputed static K/V
+        (cross-attention) and ``key_value`` is ignored.
 
     Returns ``(output [B, Tq, out_dim], updated_cache_or_None)``.
     """
@@ -143,7 +144,8 @@ def mha_apply(
     q = apply_rope(q, q_positions, inv_freq, rot_dim)
 
     new_cache = None
-    if cache is not None and cache.get("static", False):
+    if cache is not None and cache_index is None:
+        # Precomputed static K/V (cross-attention over a fixed encoder).
         k, v = cache["k"], cache["v"]
         new_cache = cache
     else:
@@ -178,7 +180,7 @@ def make_cross_attention_cache(
     k = _split_heads(encoder_out @ params["key_kernel"], num_heads)
     v = _split_heads(encoder_out @ params["value_kernel"], num_heads)
     k = apply_rope(k, jnp.arange(tk), params["rope_inv_freq"], rot_dim)
-    return {"k": k, "v": v, "static": True}
+    return {"k": k, "v": v}
 
 
 def init_self_attention_cache(

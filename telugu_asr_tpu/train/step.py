@@ -1,0 +1,134 @@
+"""The jitted, mesh-sharded train/eval steps.
+
+One XLA program per step: on-device featurization (log-mel) → SpecAugment →
+model forward → masked CE + L2 → backward → Adam update.  Replaces the
+reference's host-side tf.data featurization + Keras train_step
+(moonshine/dataset.py:159-164, base_model.py:96-115) with a single fused
+graph — the host only ships raw padded audio and token ids.
+
+Data parallelism: batches are sharded over the mesh's ``data`` axis
+(parallel/mesh.py), parameters are replicated, and the loss's
+global-batch-size scaling makes XLA's gradient ``psum`` over ICI produce the
+exact global-mean gradient (the ``compute_average_loss`` contract,
+ce_loss.py:34-37).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from telugu_asr_tpu.audio.augment import Augmentation
+from telugu_asr_tpu.audio.featurizer import SpeechFeaturizer
+from telugu_asr_tpu.losses import l2_regularization, masked_cross_entropy
+from telugu_asr_tpu.models.moonshine.model import ASRModel
+from telugu_asr_tpu.train.state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step"]
+
+
+def _forward_loss(
+    model: ASRModel,
+    featurizer: SpeechFeaturizer,
+    augmentation: Optional[Augmentation],
+    params,
+    batch: dict,
+    rng: Optional[jax.Array],
+    *,
+    deterministic: bool,
+    global_batch_size: int,
+    l2: float,
+    pad_id: int,
+):
+    features, feat_lengths = featurizer(batch["audio"], batch["audio_lengths"])
+    if augmentation is not None and augmentation.enabled and not deterministic:
+        rng, kaug = jax.random.split(rng)
+        features = augmentation.feature_augment(kaug, features, feat_lengths)
+    logits = model.apply(
+        params,
+        features,
+        feat_lengths,
+        batch["shifted_right_text_inputs"],
+        deterministic=deterministic,
+        rng=rng,
+    )
+    ce = masked_cross_entropy(
+        logits, batch["text_targets"], pad_id=pad_id, global_batch_size=global_batch_size
+    )
+    reg = l2_regularization(params, l2) if l2 else 0.0
+    return ce + reg, ce
+
+
+def make_train_step(
+    model: ASRModel,
+    optimizer: optax.GradientTransformation,
+    featurizer: SpeechFeaturizer,
+    *,
+    augmentation: Optional[Augmentation] = None,
+    global_batch_size: int,
+    l2: float = 0.0,
+    pad_id: int = 2,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    ``batch``: ``{"audio" [B,N] f32, "audio_lengths" [B] i32,
+    "shifted_right_text_inputs" [B,U] i32, "text_targets" [B,U] i32}``.
+    """
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            return _forward_loss(
+                model,
+                featurizer,
+                augmentation,
+                params,
+                batch,
+                rng,
+                deterministic=False,
+                global_batch_size=global_batch_size,
+                l2=l2,
+                pad_id=pad_id,
+            )
+
+        (loss, ce), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state)
+        metrics = {"loss": loss, "ce": ce, "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model: ASRModel,
+    featurizer: SpeechFeaturizer,
+    *,
+    global_batch_size: int,
+    l2: float = 0.0,
+    pad_id: int = 2,
+) -> Callable:
+    """Returns jitted ``eval_step(params, batch) -> metrics`` (teacher-forced)."""
+
+    def step_fn(params, batch: dict):
+        loss, ce = _forward_loss(
+            model,
+            featurizer,
+            None,
+            params,
+            batch,
+            None,
+            deterministic=True,
+            global_batch_size=global_batch_size,
+            l2=l2,
+            pad_id=pad_id,
+        )
+        return {"loss": loss, "ce": ce}
+
+    return jax.jit(step_fn)
