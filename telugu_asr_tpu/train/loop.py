@@ -1,0 +1,132 @@
+"""Training orchestration: the ``fit`` loop with logging, checkpointing,
+auto-resume and validation.
+
+Functional replacement for the reference's Keras ``model.fit`` + callback
+stack (train.py:86-104): per-epoch checkpoints, crash-resume from the latest
+state (BackupAndRestore parity), CSV epoch log (``epoch,loss,val_loss`` —
+byte-compatible with the committed training.log), optional per-step metric
+hook, and host-side prefetch feeding the jitted DP-sharded step.
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from telugu_asr_tpu.data.dataset import ASRDataset
+from telugu_asr_tpu.data.loader import PrefetchLoader
+from telugu_asr_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_multiple,
+    replicated_sharding,
+    shard_batch,
+)
+from telugu_asr_tpu.train.checkpoint import CheckpointManager
+from telugu_asr_tpu.train.state import TrainState
+
+logger = logging.getLogger("telugu_asr_tpu")
+
+__all__ = ["fit", "CSVLogger"]
+
+
+class CSVLogger:
+    """Epoch CSV log: ``epoch,loss,val_loss`` (reference training.log format)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._wrote_header = os.path.exists(path) and os.path.getsize(path) > 0
+
+    def log(self, epoch: int, loss: float, val_loss: Optional[float]) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        with open(self.path, "a", newline="", encoding="utf-8") as f:
+            writer = csv.writer(f)
+            if not self._wrote_header:
+                writer.writerow(["epoch", "loss", "val_loss"])
+                self._wrote_header = True
+            writer.writerow([epoch, f"{loss:.6f}", "" if val_loss is None else f"{val_loss:.6f}"])
+
+
+def fit(
+    *,
+    train_step: Callable,
+    eval_step: Optional[Callable],
+    state: TrainState,
+    train_dataset: ASRDataset,
+    valid_dataset: Optional[ASRDataset],
+    batch_size: int,
+    num_epochs: int,
+    run_dir: str,
+    seed: int = 42,
+    mesh=None,
+    steps_per_epoch: Optional[int] = None,
+    checkpoint_max_to_keep: Optional[int] = None,
+    on_step: Optional[Callable[[int, dict], None]] = None,
+) -> TrainState:
+    """Run (or resume) training; returns the final state.
+
+    ``run_dir`` layout mirrors the reference's Hydra run dir: ``checkpoints/``
+    (epoch-stamped), ``states/`` is implicit in the same manager (full state
+    incl. optimizer → BackupAndRestore parity), ``training.log`` CSV.
+    """
+    os.makedirs(run_dir, exist_ok=True)
+    ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"), checkpoint_max_to_keep)
+    csv_logger = CSVLogger(os.path.join(run_dir, "training.log"))
+    if mesh is None:
+        mesh = make_mesh(("data",))
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    steps_per_epoch = steps_per_epoch or train_dataset.num_batches(batch_size)
+    latest = ckpt.latest_step()
+    start_epoch = 0
+    if latest is not None:
+        state = ckpt.restore(state)
+        start_epoch = latest
+        logger.info("resumed from epoch %d (step %d)", latest, int(state.step))
+
+    rng = jax.random.PRNGKey(seed)
+    train_iter = PrefetchLoader(train_dataset.infinite_batches(batch_size), num_prefetch=2)
+
+    for epoch in range(start_epoch, num_epochs):
+        t0 = time.perf_counter()
+        losses = []
+        n_data = int(mesh.shape.get("data", 1))
+        for _ in range(steps_per_epoch):
+            inputs, labels, _ = next(train_iter)
+            batch = {**inputs, **labels}
+            # Pad rows (PAD targets contribute zero CE) so the batch divides
+            # the data axis; loss scaling uses the fixed global batch size.
+            batch, _ = pad_batch_to_multiple(batch, n_data)
+            batch = shard_batch(mesh, batch)
+            state, metrics = train_step(state, batch, rng)
+            losses.append(metrics["loss"])
+            if on_step is not None:
+                on_step(int(state.step), metrics)
+        train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
+
+        val_loss = None
+        if eval_step is not None and valid_dataset is not None and len(valid_dataset):
+            vlosses = []
+            for inputs, labels, _ in valid_dataset.batches(batch_size):
+                batch, _ = pad_batch_to_multiple({**inputs, **labels}, n_data)
+                batch = shard_batch(mesh, batch)
+                vmetrics = eval_step(state.params, batch)
+                vlosses.append(float(vmetrics["loss"]))
+            val_loss = float(np.mean(vlosses)) if vlosses else None
+
+        dt = time.perf_counter() - t0
+        logger.info(
+            "epoch %d: loss=%.4f val_loss=%s (%.1fs, %d steps)",
+            epoch + 1, train_loss, f"{val_loss:.4f}" if val_loss is not None else "n/a",
+            dt, steps_per_epoch,
+        )
+        csv_logger.log(epoch, train_loss, val_loss)
+        ckpt.save(epoch + 1, state)
+
+    ckpt.wait()
+    train_iter.close()
+    return state

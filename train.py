@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Train the Moonshine seq2seq ASR model (reference entry:
+src/models/moonshine/train.py, re-orchestrated for JAX/TPU).
+
+Usage:
+    python train.py --config config/model.yaml [--run-dir data/logs/model/...]
+                    [--epochs N] [--batch-size B] [--steps-per-epoch N]
+"""
+from __future__ import annotations
+
+import argparse
+import datetime
+import logging
+import os
+
+import jax
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="config/model.yaml")
+    parser.add_argument("--run-dir", default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--base-dir", default=".", help="root for relative data paths")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    logger = logging.getLogger("telugu_asr_tpu")
+
+    from telugu_asr_tpu.utils import setup_environment
+
+    setup_environment()
+
+    from telugu_asr_tpu.audio.augment import Augmentation
+    from telugu_asr_tpu.configs import load_config
+    from telugu_asr_tpu.helpers import prepare_featurizers, prepare_training_datasets
+    from telugu_asr_tpu.models.moonshine.model import ASRModel, MoonshineConfig
+    from telugu_asr_tpu.optim import make_optimizer
+    from telugu_asr_tpu.parallel.mesh import make_mesh
+    from telugu_asr_tpu.train import TrainState, make_eval_step, make_train_step
+    from telugu_asr_tpu.train.loop import fit
+
+    config = load_config(args.config)
+    featurizer, tokenizer = prepare_featurizers(config)
+    train_ds, valid_ds = prepare_training_datasets(config, tokenizer, args.base_dir, args.seed)
+    logger.info("train entries: %d, valid entries: %d", len(train_ds), len(valid_ds))
+
+    model = ASRModel(MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size))
+    params = model.init(jax.random.PRNGKey(args.seed))
+    logger.info("model params: %.3fM", model.num_params(params) / 1e6)
+
+    running = config.learning_config["running_config"]
+    optimizer, schedule = make_optimizer(config.learning_config["optimizer_config"])
+    mesh = make_mesh(("data",))
+    batch_size = args.batch_size or int(running.get("batch_size", 8))
+    # global batch = per-replica batch x replica count (dataset_helpers.py:112)
+    global_batch_size = batch_size * mesh.devices.size
+    num_epochs = args.epochs or int(running.get("num_epochs", 10))
+
+    l2 = 0.0
+    reg = dict(config.model_config.get("kernel_regularizer", {}) or {})
+    if reg.get("class_name") == "l2":
+        l2 = float(reg.get("config", {}).get("l2", 0.0))
+
+    augmentation = Augmentation(
+        {
+            "prob": 0.5,
+            "feature_augment": {
+                "freq_masking": {"num_masks": 1, "mask_factor": 27},
+                "time_masking": {"num_masks": 1, "mask_factor": 100, "p_upperbound": 1.0},
+            },
+        }
+    )
+
+    train_step = make_train_step(
+        model,
+        optimizer,
+        featurizer,
+        augmentation=augmentation,
+        global_batch_size=global_batch_size,
+        l2=l2,
+    )
+    eval_step = make_eval_step(model, featurizer, global_batch_size=global_batch_size, l2=l2)
+
+    run_dir = args.run_dir or os.path.join(
+        "data", "logs", "model", datetime.date.today().isoformat()
+    )
+    state = TrainState.create(params, optimizer)
+    fit(
+        train_step=train_step,
+        eval_step=eval_step,
+        state=state,
+        train_dataset=train_ds,
+        valid_dataset=valid_ds,
+        batch_size=global_batch_size,
+        num_epochs=num_epochs,
+        run_dir=run_dir,
+        seed=args.seed,
+        mesh=mesh,
+        steps_per_epoch=args.steps_per_epoch,
+    )
+    logger.info("training complete; run dir: %s", run_dir)
+
+
+if __name__ == "__main__":
+    main()
