@@ -99,6 +99,49 @@ class Augmentation:
             return freq_masking(key, feats, **params)
         return time_masking(key, feats, length, **params)
 
+    def supports_fused(self) -> bool:
+        """One freq + one time mask (the reference defaults) can fuse into the
+        Pallas featurizer kernel as band parameters."""
+        ok = {"freq_masking", "time_masking"}
+        if not set(self.feature_config) <= ok or self.signal_config:
+            return False
+        for params in self.feature_config.values():
+            if int((params or {}).get("num_masks", 1)) != 1:
+                return False
+        return True
+
+    def sample_fused_params(
+        self, key: jax.Array, feat_lengths: jnp.ndarray, num_bins: int
+    ) -> jnp.ndarray:
+        """Sample ``[B, 4]`` (f0, f, t0, t) bands for the fused kernel.
+
+        Zero widths encode "no mask" (gate lost or augmenter unconfigured);
+        distribution laws match :func:`freq_masking` / :func:`time_masking`.
+        """
+        batch = feat_lengths.shape[0]
+        out = jnp.zeros((batch, 4), jnp.int32)
+        fkey, tkey = jax.random.split(key)
+        if "freq_masking" in self.feature_config:
+            p = dict(self.feature_config["freq_masking"] or {})
+            mask_factor = int(p.get("mask_factor", 27))
+            kg, kf, k0 = jax.random.split(fkey, 3)
+            f = jax.random.randint(kf, (batch,), 0, mask_factor)
+            f = jnp.minimum(f, num_bins)
+            f0 = jax.random.randint(k0, (batch,), 0, 1 << 30) % jnp.maximum(num_bins - f, 1)
+            gate = jax.random.uniform(kg, (batch,)) < self.prob
+            out = out.at[:, 0].set(f0).at[:, 1].set(jnp.where(gate, f, 0))
+        if "time_masking" in self.feature_config:
+            p = dict(self.feature_config["time_masking"] or {})
+            mask_factor = int(p.get("mask_factor", 100))
+            p_up = float(p.get("p_upperbound", 1.0))
+            kg, kt, k0 = jax.random.split(tkey, 3)
+            t = jax.random.randint(kt, (batch,), 0, mask_factor)
+            t = jnp.minimum(t, (feat_lengths * p_up).astype(jnp.int32))
+            t0 = jax.random.randint(k0, (batch,), 0, 1 << 30) % jnp.maximum(feat_lengths - t, 1)
+            gate = jax.random.uniform(kg, (batch,)) < self.prob
+            out = out.at[:, 2].set(t0).at[:, 3].set(jnp.where(gate, t, 0))
+        return out
+
     def feature_augment(
         self, key: jax.Array, features: jnp.ndarray, lengths: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:

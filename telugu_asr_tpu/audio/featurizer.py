@@ -243,3 +243,53 @@ class SpeechFeaturizer:
         if squeeze:
             return feats[0], feat_lengths[0]
         return feats, feat_lengths
+
+    # -- fused Pallas path ---------------------------------------------------
+    @partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+    def fused(
+        self,
+        signals: jnp.ndarray,
+        lengths: Optional[jnp.ndarray] = None,
+        aug_params: Optional[jnp.ndarray] = None,
+        interpret: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused Pallas log-mel (+ SpecAugment bands): same contract as
+        ``__call__`` for ``feature_type='log_mel_spectrogram'``; ~2x the
+        XLA path's throughput on TPU v5e (one HBM pass, two MXU matmuls).
+
+        ``aug_params [B, 4]`` comes from
+        :meth:`telugu_asr_tpu.audio.augment.Augmentation.sample_fused_params`.
+        """
+        from telugu_asr_tpu.ops.pallas.melspec import fused_log_mel
+
+        c = self.config
+        if c.feature_type != "log_mel_spectrogram":
+            raise ValueError("fused path supports log_mel_spectrogram only")
+        batch = signals.shape[0]
+        if lengths is None:
+            lengths = jnp.full((batch,), signals.shape[-1], dtype=jnp.int32)
+        lengths = lengths.astype(jnp.int32)
+        sample_mask = jnp.arange(signals.shape[-1])[None, :] < lengths[:, None]
+        signals = jnp.where(sample_mask, signals, 0.0)
+        signals = jnp.where(sample_mask, self._preprocess(signals), 0.0)
+
+        num_frames = max(int(self.get_nframes(signals.shape[-1])), 1)
+        feat_lengths = jnp.maximum(
+            1 + (lengths - c.frame_length) // c.frame_step, 0
+        ).astype(jnp.int32)
+        feats = fused_log_mel(
+            signals,
+            feat_lengths,
+            frame_length=c.frame_length,
+            frame_step=c.frame_step,
+            fft_length=c.fft_length,
+            num_mel_bins=c.num_feature_bins,
+            sample_rate=c.sample_rate,
+            lower_edge_hertz=c.lower_edge_hertz,
+            upper_edge_hertz=c.upper_edge_hertz,
+            output_floor=c.output_floor,
+            num_frames=num_frames,
+            aug_params=aug_params,
+            interpret=interpret,
+        )
+        return feats[:, :num_frames], feat_lengths

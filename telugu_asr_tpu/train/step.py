@@ -42,9 +42,30 @@ def _forward_loss(
     global_batch_size: int,
     l2: float,
     pad_id: int,
+    use_fused_featurizer: bool = False,
 ):
-    features, feat_lengths = featurizer(batch["audio"], batch["audio_lengths"])
-    if augmentation is not None and augmentation.enabled and not deterministic:
+    augment = augmentation is not None and augmentation.enabled and not deterministic
+    if use_fused_featurizer:
+        # Fused Pallas kernel: featurizer + SpecAugment bands in one HBM pass.
+        aug_params = None
+        if augment and augmentation.supports_fused():
+            rng, kaug = jax.random.split(rng)
+            feat_lengths_est = jnp.maximum(
+                1
+                + (batch["audio_lengths"] - featurizer.config.frame_length)
+                // featurizer.config.frame_step,
+                0,
+            ).astype(jnp.int32)
+            aug_params = augmentation.sample_fused_params(
+                kaug, feat_lengths_est, featurizer.config.num_feature_bins
+            )
+            augment = False
+        features, feat_lengths = featurizer.fused(
+            batch["audio"], batch["audio_lengths"], aug_params
+        )
+    else:
+        features, feat_lengths = featurizer(batch["audio"], batch["audio_lengths"])
+    if augment:
         rng, kaug = jax.random.split(rng)
         features = augmentation.feature_augment(kaug, features, feat_lengths)
     logits = model.apply(
@@ -72,6 +93,7 @@ def make_train_step(
     l2: float = 0.0,
     pad_id: int = 2,
     donate: bool = True,
+    use_fused_featurizer: bool = False,
 ) -> Callable:
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -94,6 +116,7 @@ def make_train_step(
                 global_batch_size=global_batch_size,
                 l2=l2,
                 pad_id=pad_id,
+                use_fused_featurizer=use_fused_featurizer,
             )
 
         (loss, ce), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

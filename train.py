@@ -75,6 +75,8 @@ def main() -> None:
         }
     )
 
+    # Fused Pallas featurizer+SpecAugment on TPU (~2x XLA path throughput).
+    use_fused = jax.devices()[0].platform not in ("cpu",)
     train_step = make_train_step(
         model,
         optimizer,
@@ -82,6 +84,7 @@ def main() -> None:
         augmentation=augmentation,
         global_batch_size=global_batch_size,
         l2=l2,
+        use_fused_featurizer=use_fused,
     )
     eval_step = make_eval_step(model, featurizer, global_batch_size=global_batch_size, l2=l2)
 
