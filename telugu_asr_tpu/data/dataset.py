@@ -183,3 +183,44 @@ class ASRDataset:
     def infinite_batches(self, batch_size: int) -> Iterator[tuple]:
         while True:
             yield from self.batches(batch_size)
+
+
+class TransducerASRDataset(ASRDataset):
+    """Transducer schema (src/dataset.py:18-281): labels are the plain token
+    sequence (no BOS/EOS — the [BLANK]-based tokenizer, src/tokenizer.py:26),
+    ``prediction`` is the blank-prepended sequence, with explicit lengths."""
+
+    def __init__(self, spec, tokenizer, blank_id: int = 0, **kwargs):
+        self.blank_id = blank_id
+        super().__init__(spec, tokenizer, **kwargs)
+        # re-tokenize without specials
+        self._token_ids = [
+            np.asarray(tokenizer.encode(t, add_special_tokens=False), np.int32)
+            for _, _, t in self.entries
+        ]
+
+    def _make_batch(self, indices: np.ndarray) -> tuple:
+        from telugu_asr_tpu.data.schemas import TransducerTargetLabels, TransducerTrainInput
+
+        waves = [self._load_audio(i) for i in indices]
+        tokens = [self._token_ids[i] for i in indices]
+        max_samples = _round_up(max(len(w) for w in waves), self.audio_quantum)
+        max_labels = _round_up(max(len(t) for t in tokens), self.text_quantum)
+
+        n = len(indices)
+        audio = np.zeros((n, max_samples), np.float32)
+        audio_lengths = np.zeros((n,), np.int32)
+        labels = np.full((n, max_labels), self.blank_id, np.int32)
+        labels_length = np.zeros((n,), np.int32)
+        prediction = np.full((n, max_labels + 1), self.blank_id, np.int32)
+        for row, (w, t) in enumerate(zip(waves, tokens)):
+            audio[row, : len(w)] = w
+            audio_lengths[row] = len(w)
+            labels[row, : len(t)] = t
+            labels_length[row] = len(t)
+            prediction[row, 1 : len(t) + 1] = t  # [BLANK] + labels
+        return (
+            TransducerTrainInput(audio, audio_lengths, prediction, labels_length + 1),
+            TransducerTargetLabels(labels, labels_length),
+            indices,
+        )

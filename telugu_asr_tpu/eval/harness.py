@@ -70,6 +70,27 @@ def predict_batches(
         yield indices, hyp, ref
 
 
+def transducer_predict_batches(
+    model,
+    params: dict,
+    model_state: dict,
+    featurizer: SpeechFeaturizer,
+    dataset,
+    batch_size: int,
+):
+    """Greedy transducer decode per batch → (indices, hyp texts, ref texts)."""
+    tokenizer = dataset.tokenizer
+    for inputs, labels, indices in dataset.batches(batch_size):
+        features, feat_lengths = featurizer(inputs["audio"], inputs["audio_lengths"])
+        frame_tokens, _ = model.recognize(params, model_state, features, feat_lengths)
+        stripped = model.strip_blanks(frame_tokens, model.cfg.blank_id)
+        hyp = [tokenizer.decode(seq, skip_special_tokens=True) for seq in stripped]
+        ref = []
+        for row, n in zip(np.asarray(labels["labels"]), np.asarray(labels["labels_length"])):
+            ref.append(tokenizer.decode(row[: int(n)], skip_special_tokens=True))
+        yield indices, hyp, ref
+
+
 def run_testing(
     model: ASRModel,
     params: dict,
@@ -80,20 +101,28 @@ def run_testing(
     *,
     tokens_per_second: float = 24.0,
     parity_unmasked_cross: bool = False,
+    family: str = "moonshine",
+    model_state: dict = None,
 ) -> Dict[str, float]:
     """Predict the whole dataset, write the TSV artifact, return metrics."""
     rows: dict = {}
     start = time.perf_counter()
     audio_seconds = 0.0
-    for indices, hyps, refs in predict_batches(
-        model,
-        params,
-        featurizer,
-        dataset,
-        batch_size,
-        tokens_per_second=tokens_per_second,
-        parity_unmasked_cross=parity_unmasked_cross,
-    ):
+    if family == "conformer":
+        batch_iter = transducer_predict_batches(
+            model, params, model_state or {}, featurizer, dataset, batch_size
+        )
+    else:
+        batch_iter = predict_batches(
+            model,
+            params,
+            featurizer,
+            dataset,
+            batch_size,
+            tokens_per_second=tokens_per_second,
+            parity_unmasked_cross=parity_unmasked_cross,
+        )
+    for indices, hyps, refs in batch_iter:
         for i, hyp, ref in zip(indices, hyps, refs):
             path, duration, _ = dataset.entries[i]
             rows[int(i)] = (path, duration, ref, hyp)

@@ -47,16 +47,16 @@ class CheckpointManager:
         )
         return TrainState(**restored)
 
-    def restore_params(self, step: Optional[int] = None) -> Any:
-        """Weights-only warm start (reference by-name h5 load analog).
-
-        Restores the raw saved pytree (no target needed) and returns its
-        ``params`` subtree as host arrays.
-        """
+    def restore_raw(self, step: Optional[int] = None) -> dict:
+        """Restore the raw saved pytree (no target tree needed)."""
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        restored = self._mgr.restore(step)
+        return self._mgr.restore(step)
+
+    def restore_params(self, step: Optional[int] = None) -> Any:
+        """Weights-only warm start (reference by-name h5 load analog)."""
+        restored = self.restore_raw(step)
         return jax.tree_util.tree_map(jax.numpy.asarray, restored["params"])
 
     def wait(self) -> None:
@@ -67,4 +67,9 @@ class CheckpointManager:
 
 
 def _to_pytree(state: TrainState) -> dict:
-    return {"step": state.step, "params": state.params, "opt_state": state.opt_state}
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "model_state": state.model_state,
+    }

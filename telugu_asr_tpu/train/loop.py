@@ -114,7 +114,7 @@ def fit(
             for inputs, labels, _ in valid_dataset.batches(batch_size):
                 batch, _ = pad_batch_to_multiple({**inputs, **labels}, n_data)
                 batch = shard_batch(mesh, batch)
-                vmetrics = eval_step(state.params, batch)
+                vmetrics = eval_step(state, batch)
                 vlosses.append(float(vmetrics["loss"]))
             val_loss = float(np.mean(vlosses)) if vlosses else None
 

@@ -22,11 +22,17 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Non-trainable model state (Conformer BatchNorm running stats); empty
+    # dict for stateless families.
+    model_state: Any = dataclasses.field(default_factory=dict)
 
     @classmethod
-    def create(cls, params, optimizer: optax.GradientTransformation) -> "TrainState":
+    def create(
+        cls, params, optimizer: optax.GradientTransformation, model_state: Any = None
+    ) -> "TrainState":
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=optimizer.init(params),
+            model_state=model_state if model_state is not None else {},
         )

@@ -137,14 +137,14 @@ def make_eval_step(
     l2: float = 0.0,
     pad_id: int = 2,
 ) -> Callable:
-    """Returns jitted ``eval_step(params, batch) -> metrics`` (teacher-forced)."""
+    """Returns jitted ``eval_step(state, batch) -> metrics`` (teacher-forced)."""
 
-    def step_fn(params, batch: dict):
+    def step_fn(state: TrainState, batch: dict):
         loss, ce = _forward_loss(
             model,
             featurizer,
             None,
-            params,
+            state.params,
             batch,
             None,
             deterministic=True,
@@ -153,5 +153,126 @@ def make_eval_step(
             pad_id=pad_id,
         )
         return {"loss": loss, "ce": ce}
+
+    return jax.jit(step_fn)
+
+
+# ---------------------------------------------------------------------------
+# Transducer (Conformer RNN-T) steps
+# ---------------------------------------------------------------------------
+
+
+def make_transducer_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    featurizer: SpeechFeaturizer,
+    *,
+    augmentation: Optional[Augmentation] = None,
+    global_batch_size: int,
+    l2: float = 0.0,
+    blank_id: int = 0,
+    donate: bool = True,
+    use_fused_featurizer: bool = False,
+) -> Callable:
+    """RNN-T train step for the Conformer family (reference train.py:23-106).
+
+    ``batch``: ``{"audio", "audio_lengths", "prediction" (blank-prepended),
+    "prediction_length", "labels", "labels_length"}`` (src/schemas.py laws).
+    BatchNorm running stats thread through ``state.model_state``.
+    """
+    from telugu_asr_tpu.losses.rnnt import rnnt_loss
+
+    def step_fn(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            krng = rng
+            augment = augmentation is not None and augmentation.enabled
+            if use_fused_featurizer:
+                aug_params = None
+                if augment and augmentation.supports_fused():
+                    krng, kaug = jax.random.split(krng)
+                    est = jnp.maximum(
+                        1
+                        + (batch["audio_lengths"] - featurizer.config.frame_length)
+                        // featurizer.config.frame_step,
+                        0,
+                    ).astype(jnp.int32)
+                    aug_params = augmentation.sample_fused_params(
+                        kaug, est, featurizer.config.num_feature_bins
+                    )
+                    augment = False
+                features, feat_lengths = featurizer.fused(
+                    batch["audio"], batch["audio_lengths"], aug_params
+                )
+            else:
+                features, feat_lengths = featurizer(batch["audio"], batch["audio_lengths"])
+            if augment:
+                krng, kaug = jax.random.split(krng)
+                features = augmentation.feature_augment(kaug, features, feat_lengths)
+            out, new_model_state = model.apply(
+                params,
+                state.model_state,
+                features,
+                feat_lengths,
+                batch["prediction"],
+                batch["prediction_length"],
+                training=True,
+                rng=krng,
+            )
+            per_example = rnnt_loss(
+                out["logits"],
+                batch["labels"],
+                out["logits_length"],
+                batch["labels_length"],
+                blank_id,
+            )
+            rnnt = jnp.sum(per_example) / jnp.asarray(global_batch_size, jnp.float32)
+            reg = l2_regularization(params, l2) if l2 else 0.0
+            return rnnt + reg, (rnnt, new_model_state)
+
+        (loss, (rnnt, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            model_state=new_model_state,
+        )
+        return new_state, {"loss": loss, "rnnt": rnnt, "grad_norm": optax.global_norm(grads)}
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_transducer_eval_step(
+    model,
+    featurizer: SpeechFeaturizer,
+    *,
+    global_batch_size: int,
+    l2: float = 0.0,
+    blank_id: int = 0,
+) -> Callable:
+    from telugu_asr_tpu.losses.rnnt import rnnt_loss
+
+    def step_fn(state: TrainState, batch: dict):
+        features, feat_lengths = featurizer(batch["audio"], batch["audio_lengths"])
+        out, _ = model.apply(
+            state.params,
+            state.model_state,
+            features,
+            feat_lengths,
+            batch["prediction"],
+            batch["prediction_length"],
+            training=False,
+        )
+        per_example = rnnt_loss(
+            out["logits"], batch["labels"], out["logits_length"], batch["labels_length"], blank_id
+        )
+        rnnt = jnp.sum(per_example) / jnp.asarray(global_batch_size, jnp.float32)
+        reg = l2_regularization(state.params, l2) if l2 else 0.0
+        return {"loss": rnnt + reg, "rnnt": rnnt}
 
     return jax.jit(step_fn)

@@ -46,18 +46,44 @@ def main() -> None:
     from telugu_asr_tpu.train.checkpoint import CheckpointManager
 
     config = load_config(args.config)
+    family = str(config.model_config.get("family", config.model_config.get("name", "moonshine")))
+    family = "conformer" if "conformer" in family else "moonshine"
     featurizer, tokenizer = prepare_featurizers(config)
-    test_ds = prepare_testing_datasets(config, tokenizer, args.base_dir)
-    logger.info("test entries: %d", len(test_ds))
 
-    model = ASRModel(MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size))
+    model_state = {}
+    if family == "conformer":
+        from telugu_asr_tpu.data.dataset import DatasetSpec, TransducerASRDataset
+        from telugu_asr_tpu.models.conformer.model import Conformer, ConformerConfig
+        from telugu_asr_tpu.text import make_transducer_tokenizer
+
+        tokenizer = make_transducer_tokenizer()
+        test_ds = TransducerASRDataset(
+            DatasetSpec.from_config(config.data_config["test_dataset_config"], args.base_dir),
+            tokenizer,
+        )
+        model = Conformer(
+            ConformerConfig.from_model_config(config.model_config, tokenizer.vocab_size)
+        )
+    else:
+        test_ds = prepare_testing_datasets(config, tokenizer, args.base_dir)
+        model = ASRModel(
+            MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size)
+        )
+    logger.info("family: %s, test entries: %d", family, len(test_ds))
+
     if args.checkpoint_dir:
         ckpt = CheckpointManager(args.checkpoint_dir)
-        params = ckpt.restore_params(args.checkpoint_step)
+        restored = ckpt.restore_raw(args.checkpoint_step)
+        params = jax.tree_util.tree_map(jax.numpy.asarray, restored["params"])
+        if restored.get("model_state"):
+            model_state = jax.tree_util.tree_map(jax.numpy.asarray, restored["model_state"])
         logger.info("restored checkpoint step %s", args.checkpoint_step or ckpt.latest_step())
     else:
         logger.warning("no checkpoint given; evaluating randomly initialized weights")
-        params = model.init(jax.random.PRNGKey(42))
+        if family == "conformer":
+            params, model_state = model.init(jax.random.PRNGKey(42))
+        else:
+            params = model.init(jax.random.PRNGKey(42))
 
     metrics = run_testing(
         model,
@@ -67,6 +93,8 @@ def main() -> None:
         args.batch_size,
         args.output,
         parity_unmasked_cross=args.parity_unmasked_cross,
+        family=family,
+        model_state=model_state,
     )
     for key, value in metrics.items():
         print(f"{key}: {value:.4f}" if isinstance(value, float) else f"{key}: {value}")

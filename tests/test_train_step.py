@@ -68,7 +68,7 @@ def test_eval_step_runs(setup):
     _, model, params, opt, feat = setup
     batch = make_batch()
     eval_step = make_eval_step(model, feat, global_batch_size=8)
-    metrics = eval_step(params, batch)
+    metrics = eval_step(TrainState.create(params, opt), batch)
     assert np.isfinite(float(metrics["loss"]))
 
 

@@ -41,15 +41,46 @@ def main() -> None:
     from telugu_asr_tpu.optim import make_optimizer
     from telugu_asr_tpu.parallel.mesh import make_mesh
     from telugu_asr_tpu.train import TrainState, make_eval_step, make_train_step
+    from telugu_asr_tpu.train.step import (
+        make_transducer_eval_step,
+        make_transducer_train_step,
+    )
     from telugu_asr_tpu.train.loop import fit
 
     config = load_config(args.config)
+    family = str(config.model_config.get("family", config.model_config.get("name", "moonshine")))
+    family = "conformer" if "conformer" in family else "moonshine"
     featurizer, tokenizer = prepare_featurizers(config)
-    train_ds, valid_ds = prepare_training_datasets(config, tokenizer, args.base_dir, args.seed)
-    logger.info("train entries: %d, valid entries: %d", len(train_ds), len(valid_ds))
 
-    model = ASRModel(MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size))
-    params = model.init(jax.random.PRNGKey(args.seed))
+    model_state = {}
+    if family == "conformer":
+        from telugu_asr_tpu.data.dataset import DatasetSpec, TransducerASRDataset
+        from telugu_asr_tpu.models.conformer.model import Conformer, ConformerConfig
+        from telugu_asr_tpu.text import make_transducer_tokenizer
+
+        tokenizer = make_transducer_tokenizer()
+        train_ds = TransducerASRDataset(
+            DatasetSpec.from_config(config.data_config["train_dataset_config"], args.base_dir),
+            tokenizer, seed=args.seed,
+        )
+        valid_ds = TransducerASRDataset(
+            DatasetSpec.from_config(config.data_config["eval_dataset_config"], args.base_dir),
+            tokenizer, seed=args.seed,
+        )
+        model = Conformer(
+            ConformerConfig.from_model_config(config.model_config, tokenizer.vocab_size)
+        )
+        params, model_state = model.init(jax.random.PRNGKey(args.seed))
+    else:
+        train_ds, valid_ds = prepare_training_datasets(
+            config, tokenizer, args.base_dir, args.seed
+        )
+        model = ASRModel(
+            MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size)
+        )
+        params = model.init(jax.random.PRNGKey(args.seed))
+    logger.info("family: %s", family)
+    logger.info("train entries: %d, valid entries: %d", len(train_ds), len(valid_ds))
     logger.info("model params: %.3fM", model.num_params(params) / 1e6)
 
     running = config.learning_config["running_config"]
@@ -77,21 +108,36 @@ def main() -> None:
 
     # Fused Pallas featurizer+SpecAugment on TPU (~2x XLA path throughput).
     use_fused = jax.devices()[0].platform not in ("cpu",)
-    train_step = make_train_step(
-        model,
-        optimizer,
-        featurizer,
-        augmentation=augmentation,
-        global_batch_size=global_batch_size,
-        l2=l2,
-        use_fused_featurizer=use_fused,
-    )
-    eval_step = make_eval_step(model, featurizer, global_batch_size=global_batch_size, l2=l2)
+    if family == "conformer":
+        train_step = make_transducer_train_step(
+            model, optimizer, featurizer,
+            augmentation=augmentation,
+            global_batch_size=global_batch_size,
+            l2=l2,
+            use_fused_featurizer=use_fused,
+        )
+        eval_step = make_transducer_eval_step(
+            model, featurizer, global_batch_size=global_batch_size, l2=l2
+        )
+    else:
+        train_step = make_train_step(
+            model,
+            optimizer,
+            featurizer,
+            augmentation=augmentation,
+            global_batch_size=global_batch_size,
+            l2=l2,
+            use_fused_featurizer=use_fused,
+        )
+        eval_step = make_eval_step(
+            model, featurizer, global_batch_size=global_batch_size, l2=l2
+        )
 
     run_dir = args.run_dir or os.path.join(
-        "data", "logs", "model", datetime.date.today().isoformat()
+        "data", "logs", family if family != "moonshine" else "model",
+        datetime.date.today().isoformat(),
     )
-    state = TrainState.create(params, optimizer)
+    state = TrainState.create(params, optimizer, model_state)
     fit(
         train_step=train_step,
         eval_step=eval_step,
