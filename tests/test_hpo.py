@@ -1,0 +1,117 @@
+"""HPO engine: samplers, pruner laws, storage resume, search-space gates."""
+import numpy as np
+import pytest
+
+from telugu_asr_tpu.hpo import (
+    RandomSampler,
+    SuccessiveHalvingPruner,
+    TPESampler,
+    TrialPruned,
+    create_study,
+)
+from telugu_asr_tpu.hpo.runner import PARAM_BUDGET, build_model_config, suggest_hyperparameters
+
+
+def quadratic(trial):
+    x = trial.suggest_float("x", -5.0, 5.0)
+    y = trial.suggest_float("y", 1e-3, 10.0, log=True)
+    c = trial.suggest_categorical("c", ["a", "b"])
+    return (x - 1.0) ** 2 + (np.log(y) - 0.0) ** 2 + (0.0 if c == "a" else 1.0)
+
+
+def test_random_search_runs():
+    study = create_study("t", sampler=RandomSampler(seed=0))
+    study.optimize(quadratic, n_trials=20)
+    assert study.best_value is not None
+    assert len([t for t in study.trials if t.state == "complete"]) == 20
+
+
+def test_tpe_improves_over_startup():
+    study = create_study("t", sampler=TPESampler(seed=0, n_startup_trials=10))
+    study.optimize(quadratic, n_trials=40)
+    startup_best = min(t.value for t in study.trials[:10])
+    assert study.best_value <= startup_best
+
+
+def test_int_and_step_suggest():
+    study = create_study("t", sampler=RandomSampler(seed=1))
+
+    def obj(trial):
+        w = trial.suggest_int("warmup", 4000, 16000, step=1000)
+        assert 4000 <= w <= 16000 and w % 1000 == 0
+        d = trial.suggest_categorical("d_model", [192, 256, 320])
+        assert d in (192, 256, 320)
+        return 0.0
+
+    study.optimize(obj, n_trials=5)
+
+
+def test_pruner_prunes_bad_trials():
+    pruner = SuccessiveHalvingPruner(min_resource=2, reduction_factor=2)
+    study = create_study("t", sampler=RandomSampler(seed=2), pruner=pruner)
+    pruned = []
+
+    def obj(trial):
+        base = trial.suggest_float("b", 0.0, 1.0)
+        for epoch in range(1, 9):
+            # bad trials plateau high; good trials descend
+            value = base * 10 + (8 - epoch) * 0.1
+            trial.report(value, epoch)
+            if trial.should_prune():
+                pruned.append(trial.number)
+                raise TrialPruned()
+        return value
+
+    study.optimize(obj, n_trials=12)
+    assert len(pruned) > 0  # some bad trials were cut early
+    states = {t.state for t in study.trials}
+    assert "pruned" in states and "complete" in states
+
+
+def test_storage_resume(tmp_path):
+    path = str(tmp_path / "study.json")
+    s1 = create_study("t", storage=path, sampler=RandomSampler(seed=3))
+    s1.optimize(quadratic, n_trials=5)
+    s2 = create_study("t", storage=path, sampler=RandomSampler(seed=3))
+    assert len(s2.trials) == 5
+    s2.optimize(quadratic, n_trials=8)  # total count includes restored
+    assert len([t for t in s2.trials if t.state == "complete"]) == 8
+
+
+def test_reference_search_space_and_budget_gate():
+    study = create_study("t", sampler=RandomSampler(seed=4))
+    seen = []
+
+    def obj(trial):
+        try:
+            hp = suggest_hyperparameters(trial)
+        except TrialPruned:
+            raise
+        seen.append(hp)
+        cfg = build_model_config(hp)
+        assert cfg["encoder_config"]["num_heads"] * hp["head_dim"] == hp["d_model"]
+        assert 4 <= cfg["encoder_config"]["num_blocks"] <= 8
+        assert 2 <= cfg["decoder_config"]["num_blocks"] <= 6
+        return 0.0
+
+    study.optimize(obj, n_trials=30)
+    assert len(seen) > 0
+    # incompatible (d_model, head_dim) combos were pruned, not crashed
+    assert all(hp["d_model"] % hp["head_dim"] == 0 for hp in seen)
+
+
+def test_param_budget_enforced():
+    from telugu_asr_tpu.models.moonshine.model import ASRModel, MoonshineConfig
+
+    hp = {
+        "d_model": 320, "head_dim": 32, "num_heads": 10,
+        "encoder_blocks": 8, "decoder_blocks": 6,
+        "encoder_dropout": 0.1, "decoder_dropout": 0.1,
+        "min_lr": 1e-5, "max_lr": 1e-3, "warmup_steps": 8000, "l2": 1e-5,
+    }
+    cfg = MoonshineConfig.from_model_config(build_model_config(hp), vocab_size=242)
+    import jax
+
+    model = ASRModel(cfg)
+    n = model.num_params(model.init(jax.random.PRNGKey(0)))
+    assert n < PARAM_BUDGET  # largest space point still fits the budget

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Hyperparameter search entry point (reference: train_optuna.py:158-203).
+
+TPE sampling (seed 42, 10 startup trials) + successive-halving pruning
+(min_resource 8, reduction factor 3), JSON storage with resume, the exact
+reference search space, and the 15M-parameter budget gate — self-contained
+(no Optuna dependency in this image).
+
+Usage:
+    python train_optuna.py --config config/model.yaml --n-trials 75
+                           [--epochs 24] [--steps-per-epoch N] [--storage path]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default="config/model.yaml")
+    parser.add_argument("--n-trials", type=int, default=75)
+    parser.add_argument("--epochs", type=int, default=24)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--steps-per-epoch", type=int, default=None)
+    parser.add_argument("--storage", default="data/hpo/study.json")
+    parser.add_argument("--study-name", default="asr-hyperparam-snacks-telugu-15m")
+    parser.add_argument("--base-dir", default=".")
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    logger = logging.getLogger("telugu_asr_tpu")
+
+    import jax
+
+    from telugu_asr_tpu.configs import load_config
+    from telugu_asr_tpu.helpers import prepare_featurizers, prepare_training_datasets
+    from telugu_asr_tpu.hpo import SuccessiveHalvingPruner, TPESampler, create_study
+    from telugu_asr_tpu.hpo.runner import make_objective
+    from telugu_asr_tpu.utils import setup_environment
+
+    setup_environment()
+    config = load_config(args.config)
+    featurizer, tokenizer = prepare_featurizers(config)
+    train_ds, valid_ds = prepare_training_datasets(config, tokenizer, args.base_dir, args.seed)
+    logger.info("train entries: %d, valid entries: %d", len(train_ds), len(valid_ds))
+
+    study = create_study(
+        study_name=args.study_name,
+        storage=args.storage,
+        sampler=TPESampler(seed=args.seed, n_startup_trials=10),
+        pruner=SuccessiveHalvingPruner(min_resource=8, reduction_factor=3),
+        load_if_exists=True,
+    )
+    objective = make_objective(
+        train_ds,
+        valid_ds,
+        featurizer,
+        tokenizer,
+        batch_size=args.batch_size,
+        epochs=args.epochs,
+        steps_per_epoch=args.steps_per_epoch,
+        seed=args.seed,
+        use_fused_featurizer=jax.devices()[0].platform not in ("cpu",),
+    )
+    study.optimize(objective, n_trials=args.n_trials)
+    logger.info("best value: %s", study.best_value)
+    logger.info("best params: %s", study.best_params)
+
+
+if __name__ == "__main__":
+    main()
