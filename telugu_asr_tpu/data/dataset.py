@@ -93,6 +93,7 @@ class ASRDataset:
         text_quantum: int = 16,
         max_audio_seconds: float = 30.0,
         seed: int = 42,
+        use_native: str = "auto",
     ):
         self.spec = spec
         self.tokenizer = tokenizer
@@ -101,6 +102,16 @@ class ASRDataset:
         self.max_audio_samples = int(max_audio_seconds * spec.sample_rate)
         self._rng = np.random.default_rng(seed)
         self._audio_cache: Optional[dict] = {} if spec.cache else None
+        self._native = None
+        if use_native in ("auto", "always"):
+            try:
+                from telugu_asr_tpu.runtime import NativeAudioDecoder
+
+                self._native = NativeAudioDecoder(num_threads=4)
+            except Exception:
+                if use_native == "always":
+                    raise
+                self._native = None
 
         self.entries = read_tsv_entries(spec.data_paths) if spec.enabled else []
         # Tokenize once: ids = [BOS] + subwords + [EOS] (dataset.py:169-190).
@@ -132,21 +143,45 @@ class ASRDataset:
             self._audio_cache[index] = wave
         return wave
 
-    def _make_batch(self, indices: np.ndarray) -> tuple:
+    def _load_batch_audio(self, indices: np.ndarray):
+        """Decode a batch of utterances → (audio [n, max_samples], lengths).
+
+        Uses the native multithreaded decoder when available (one C call per
+        batch, rows land directly in the padded buffer); Python fallback per
+        file.  ``max_samples`` is estimated from the TSV DURATION column and
+        quantized for static XLA shapes.
+        """
+        if self._native is not None and self._audio_cache is None:
+            sr = self.spec.sample_rate
+            est = [
+                min(int(round(self.entries[i][1] * sr)) + sr // 4, self.max_audio_samples)
+                for i in indices
+            ]
+            max_samples = _round_up(max(max(est), 1), self.audio_quantum)
+            paths = [self.entries[i][0] for i in indices]
+            audio, lengths, failures = self._native.decode_batch(paths, max_samples)
+            if failures == 0:
+                return audio, lengths, max_samples
+            # fall through to the Python path on any decode failure
         waves = [self._load_audio(i) for i in indices]
-        tokens = [self._token_ids[i] for i in indices]
         max_samples = _round_up(max(len(w) for w in waves), self.audio_quantum)
+        audio = np.zeros((len(indices), max_samples), np.float32)
+        lengths = np.zeros((len(indices),), np.int32)
+        for row, w in enumerate(waves):
+            audio[row, : len(w)] = w
+            lengths[row] = len(w)
+        return audio, lengths, max_samples
+
+    def _make_batch(self, indices: np.ndarray) -> tuple:
+        audio, audio_lengths, _ = self._load_batch_audio(indices)
+        tokens = [self._token_ids[i] for i in indices]
         # shifted = ids[:-1], targets = ids[1:] (dataset.py:187-190)
         max_tokens = _round_up(max(len(t) - 1 for t in tokens), self.text_quantum)
         pad_id = self.tokenizer.pad_token_id
 
-        audio = np.zeros((len(indices), max_samples), np.float32)
-        audio_lengths = np.zeros((len(indices),), np.int32)
         shifted = np.full((len(indices), max_tokens), pad_id, np.int32)
         targets = np.full((len(indices), max_tokens), pad_id, np.int32)
-        for row, (w, t) in enumerate(zip(waves, tokens)):
-            audio[row, : len(w)] = w
-            audio_lengths[row] = len(w)
+        for row, t in enumerate(tokens):
             n = len(t) - 1
             shifted[row, :n] = t[:-1]
             targets[row, :n] = t[1:]
@@ -202,20 +237,15 @@ class TransducerASRDataset(ASRDataset):
     def _make_batch(self, indices: np.ndarray) -> tuple:
         from telugu_asr_tpu.data.schemas import TransducerTargetLabels, TransducerTrainInput
 
-        waves = [self._load_audio(i) for i in indices]
+        audio, audio_lengths, _ = self._load_batch_audio(indices)
         tokens = [self._token_ids[i] for i in indices]
-        max_samples = _round_up(max(len(w) for w in waves), self.audio_quantum)
         max_labels = _round_up(max(len(t) for t in tokens), self.text_quantum)
 
         n = len(indices)
-        audio = np.zeros((n, max_samples), np.float32)
-        audio_lengths = np.zeros((n,), np.int32)
         labels = np.full((n, max_labels), self.blank_id, np.int32)
         labels_length = np.zeros((n,), np.int32)
         prediction = np.full((n, max_labels + 1), self.blank_id, np.int32)
-        for row, (w, t) in enumerate(zip(waves, tokens)):
-            audio[row, : len(w)] = w
-            audio_lengths[row] = len(w)
+        for row, t in enumerate(tokens):
             labels[row, : len(t)] = t
             labels_length[row] = len(t)
             prediction[row, 1 : len(t) + 1] = t  # [BLANK] + labels
