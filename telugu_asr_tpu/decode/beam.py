@@ -1,0 +1,116 @@
+"""Batched beam-search decoding for the seq2seq family.
+
+Capability extension over the reference (greedy only, moonshine/model.py:118;
+its TFLite export stub accepted a ``beam_width`` that was never implemented,
+exec_helpers.py:41-58).  Beams fold into the batch dimension (``B*K`` rows
+share one KV cache), the whole search runs as one ``lax.while_loop``, and
+each step does one cached decoder pass + a top-K over ``K*V`` candidates with
+cache rows re-gathered to the surviving beams.
+
+``beam_size=1`` reduces exactly to greedy decoding (tested).  Scores are
+summed token log-probs with optional length normalization ``score / len^α``
+applied at the final ranking.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from telugu_asr_tpu.models.moonshine.decoder import decoder_init_cache, decoder_step
+from telugu_asr_tpu.models.moonshine.model import ASRModel
+
+__all__ = ["beam_search_decode"]
+
+NEG_INF = -1e9
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model", "max_length", "beam_size", "bos_id", "eos_id", "pad_id",
+        "length_penalty",
+    ),
+)
+def beam_search_decode(
+    model: ASRModel,
+    params: dict,
+    encoder_out: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    *,
+    max_length: int,
+    beam_size: int = 4,
+    bos_id: int = 0,
+    eos_id: int = 1,
+    pad_id: int = 2,
+    length_penalty: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns ``(tokens [B, max_length], scores [B])`` for the best beam."""
+    cfg = model.cfg.decoder
+    batch, t_enc, d = encoder_out.shape
+    k = beam_size
+    flat = batch * k
+
+    enc_flat = jnp.repeat(encoder_out, k, axis=0)
+    mask_flat = jnp.repeat(encoder_mask, k, axis=0)
+    cache = decoder_init_cache(params["decoder"], cfg, enc_flat, max_length + 1,
+                               dtype=encoder_out.dtype)
+
+    tokens0 = jnp.full((flat, max_length + 1), pad_id, jnp.int32).at[:, 0].set(bos_id)
+    # only beam 0 is live initially (all beams share the BOS prefix)
+    scores0 = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1)), (batch,)).reshape(flat)
+    finished0 = jnp.zeros((flat,), bool)
+
+    def cond(carry):
+        step, tokens, scores, finished, cache = carry
+        return (step < max_length) & ~jnp.all(finished)
+
+    def body(carry):
+        step, tokens, scores, finished, cache = carry
+        current = tokens[:, step]
+        embedded = model.embed(params, current)[:, None, :]
+        key_valid = jnp.where((current == pad_id)[:, None], True, tokens != pad_id)
+        dec_out, new_cache = decoder_step(
+            params["decoder"], cfg, embedded, cache, step,
+            key_valid_mask=key_valid, encoder_mask=mask_flat,
+        )
+        logp = jax.nn.log_softmax(
+            model.classify(params, dec_out)[:, 0, :].astype(jnp.float32), axis=-1
+        )  # [flat, V]
+        vocab = logp.shape[-1]
+        # finished beams emit only PAD at zero cost
+        pad_only = jnp.full((vocab,), NEG_INF).at[pad_id].set(0.0)
+        logp = jnp.where(finished[:, None], pad_only[None, :], logp)
+
+        cand = scores[:, None] + logp  # [flat, V]
+        cand = cand.reshape(batch, k * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, k)  # [batch, k]
+        src_beam = top_idx // vocab  # which parent beam
+        next_token = (top_idx % vocab).astype(jnp.int32)
+
+        # flat gather indices of surviving parents
+        parent = (jnp.arange(batch)[:, None] * k + src_beam).reshape(flat)
+        tokens = tokens[parent].at[:, step + 1].set(next_token.reshape(flat))
+        finished = finished[parent]
+        scores = top_scores.reshape(flat)
+        finished = finished | (tokens[:, step + 1] == eos_id)
+        new_cache = jax.tree_util.tree_map(lambda x: x[parent], new_cache)
+        return step + 1, tokens, scores, finished, new_cache
+
+    _, tokens, scores, finished, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, scores0, finished0, cache)
+    )
+
+    generated = tokens[:, 1:].reshape(batch, k, max_length)
+    scores = scores.reshape(batch, k)
+    if length_penalty > 0.0:
+        lengths = jnp.sum(generated != pad_id, axis=-1).astype(jnp.float32)
+        norm = jnp.maximum(lengths, 1.0) ** length_penalty
+        ranked = scores / norm
+    else:
+        ranked = scores
+    best = jnp.argmax(ranked, axis=-1)
+    idx = jnp.arange(batch)
+    return generated[idx, best], scores[idx, best]
