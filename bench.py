@@ -1,11 +1,13 @@
 """Benchmark: batched greedy-decode inference throughput (RTFx) on one chip.
 
-Measures end-to-end recognition — on-device log-mel featurization, encoder,
-and KV-cached batched greedy decode — on synthetic 16 kHz audio matching the
-reference test set's utterance statistics (mean 5.46 s; BASELINE.md).  The
-decode runs the FULL reference length cap (duration × 24 tokens) with no
-early EOS exit (untrained weights), so this is a worst-case RTFx: a trained
-model stops at EOS and goes faster.
+Workload mirrors the reference test set's duration statistics (BASELINE.md:
+2,226 utterances, mean 5.46 s, min 1.72 s, max 17.73 s): four duration
+buckets weighted to the test-set mix, batch 64, decoding the FULL reference
+length cap (duration × 24 tokens) with untrained weights and no early EOS
+exit — a worst-case RTFx (trained models stop at EOS and go faster).
+
+The pipeline per batch: fused Pallas log-mel featurizer → encoder → KV-cached
+batched greedy decode, all device-resident under one jit per bucket shape.
 
 Prints one JSON line:
 ``{"metric": "rtfx", "value": N, "unit": "x_realtime", "vs_baseline": N}``
@@ -18,6 +20,10 @@ import time
 
 import numpy as np
 
+# (seconds, batches_of_64): roughly the test-set duration mix, mean ~5.5s
+WORKLOAD = [(2.0, 1), (5.46, 2), (9.0, 1), (17.73, 1)]
+BATCH = 64
+
 
 def main() -> None:
     import jax
@@ -26,24 +32,23 @@ def main() -> None:
     from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
     from telugu_asr_tpu.decode.greedy import default_max_length, greedy_decode
     from telugu_asr_tpu.text import make_default_tokenizer
+    from telugu_asr_tpu.utils import setup_environment
 
     from __graft_entry__ import _flagship
 
+    setup_environment()
     tokenizer = make_default_tokenizer()
     model = _flagship(tokenizer.vocab_size)
     params = model.init(jax.random.PRNGKey(0))
     featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
-
-    batch = 64
-    seconds = 5.46  # reference test-set mean utterance
-    samples = int(seconds * 16000)
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((batch, samples)) * 0.1, jnp.float32)
-    audio_lengths = jnp.full((batch,), samples, jnp.int32)
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
 
     @jax.jit
     def recognize(params, audio, audio_lengths):
-        features, feat_lengths = featurizer(audio, audio_lengths)
+        if on_tpu:
+            features, feat_lengths = featurizer.fused(audio, audio_lengths)
+        else:
+            features, feat_lengths = featurizer(audio, audio_lengths)
         encoder_out, encoder_mask = model.encode(params, features, feat_lengths)
         max_len = default_max_length(features.shape[1])
         tokens, lengths = greedy_decode(
@@ -55,20 +60,31 @@ def main() -> None:
         )
         return tokens, lengths
 
-    # warmup / compile
-    tokens, lengths = recognize(params, audio, audio_lengths)
+    rng = np.random.default_rng(0)
+    batches = []
+    for seconds, count in WORKLOAD:
+        samples = int(seconds * 16000)
+        audio = jnp.asarray(rng.standard_normal((BATCH, samples)) * 0.1, jnp.float32)
+        lengths = jnp.full((BATCH,), samples, jnp.int32)
+        batches.append((seconds, count, audio, lengths))
+
+    # warmup / compile every bucket shape
+    for _, _, audio, lengths in batches:
+        tokens, _ = recognize(params, audio, lengths)
     jax.block_until_ready(tokens)
 
-    iters = 5
+    repeats = 3
     start = time.perf_counter()
-    for _ in range(iters):
-        tokens, lengths = recognize(params, audio, audio_lengths)
+    for _ in range(repeats):
+        for _, count, audio, lengths in batches:
+            for _ in range(count):
+                tokens, _ = recognize(params, audio, lengths)
     jax.block_until_ready(tokens)
     elapsed = time.perf_counter() - start
 
-    audio_hours_processed = iters * batch * seconds
-    rtfx = audio_hours_processed / elapsed
-    baseline = 20.0  # north-star: >=20x real-time per chip
+    audio_seconds = repeats * BATCH * sum(s * c for s, c, _, _ in batches)
+    rtfx = audio_seconds / elapsed
+    baseline = 20.0  # north-star: >=20x real-time per chip (BASELINE.md)
     print(
         json.dumps(
             {
