@@ -58,7 +58,10 @@ def main() -> None:
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id,
         )
-        return tokens, lengths
+        # scalar checksum: fetching it forces the device to have finished
+        # (this image's remote backend returns early from block_until_ready,
+        # so timing must synchronize through a data dependency)
+        return jnp.sum(tokens) + jnp.sum(lengths)
 
     rng = np.random.default_rng(0)
     batches = []
@@ -70,20 +73,38 @@ def main() -> None:
 
     # warmup / compile every bucket shape
     for _, _, audio, lengths in batches:
-        tokens, _ = recognize(params, audio, lengths)
-    jax.block_until_ready(tokens)
+        float(recognize(params, audio, lengths))
 
-    repeats = 3
-    start = time.perf_counter()
-    for _ in range(repeats):
-        for _, count, audio, lengths in batches:
-            for _ in range(count):
-                tokens, _ = recognize(params, audio, lengths)
-    jax.block_until_ready(tokens)
-    elapsed = time.perf_counter() - start
+    # host<->device round-trip baseline (subtracted from each trial)
+    @jax.jit
+    def _scalar(x):
+        return jnp.sum(x)
 
-    audio_seconds = repeats * BATCH * sum(s * c for s, c, _, _ in batches)
-    rtfx = audio_seconds / elapsed
+    float(_scalar(batches[0][3]))
+    trip_start = time.perf_counter()
+    for _ in range(5):
+        float(_scalar(batches[0][3]))
+    round_trip = (time.perf_counter() - trip_start) / 5
+
+    # Per-bucket median over several trials; each trial runs `inner`
+    # back-to-back executions (device-serialized) and synchronizes ONCE via
+    # the scalar checksum, so the tunnel round-trip amortizes away.
+    trials, inner = 5, 4
+    total_time = 0.0
+    total_audio = 0.0
+    for seconds, count, audio, lengths in batches:
+        times = []
+        for _ in range(trials):
+            start = time.perf_counter()
+            checksum = None
+            for _ in range(inner):
+                checksum = recognize(params, audio, lengths)
+            float(checksum)  # single sync
+            times.append(max(time.perf_counter() - start - round_trip, 1e-9) / inner)
+        med = sorted(times)[len(times) // 2]
+        total_time += med * count
+        total_audio += BATCH * seconds * count
+    rtfx = total_audio / total_time
     baseline = 20.0  # north-star: >=20x real-time per chip (BASELINE.md)
     print(
         json.dumps(

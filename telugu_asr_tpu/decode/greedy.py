@@ -51,6 +51,7 @@ def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int
         "eos_id",
         "pad_id",
         "parity_unmasked_cross",
+        "cache_dtype",
     ),
 )
 def greedy_decode(
@@ -64,6 +65,7 @@ def greedy_decode(
     eos_id: int = 1,
     pad_id: int = 2,
     parity_unmasked_cross: bool = False,
+    cache_dtype: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
 
@@ -73,9 +75,12 @@ def greedy_decode(
     cfg = model.cfg.decoder
     batch = encoder_out.shape[0]
     cross_mask = None if parity_unmasked_cross else encoder_mask
+    # bfloat16 caches halve the per-step HBM traffic (the decode bottleneck);
+    # scores/softmax stay float32 inside the attention op either way.
+    dtype = jnp.dtype(cache_dtype) if cache_dtype else encoder_out.dtype
     # +1: position 0 holds BOS; generated tokens live at 1..max_length.
     cache = decoder_init_cache(params["decoder"], cfg, encoder_out, max_length + 1,
-                               dtype=encoder_out.dtype)
+                               dtype=dtype)
 
     tokens0 = jnp.full((batch, max_length + 1), pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(bos_id)

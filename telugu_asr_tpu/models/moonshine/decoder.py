@@ -139,14 +139,16 @@ def decoder_init_cache(
     batch = encoder_out.shape[0]
     blocks = []
     for block in params["blocks"]:
+        cross = make_cross_attention_cache(
+            block["cross_attention"]["mha"], encoder_out, cfg.num_heads
+        )
+        cross = jax.tree_util.tree_map(lambda x: x.astype(dtype), cross)
         blocks.append(
             {
                 "self": init_self_attention_cache(
                     batch, max_len, cfg.num_heads, cfg.head_dim, dtype
                 ),
-                "cross": make_cross_attention_cache(
-                    block["cross_attention"]["mha"], encoder_out, cfg.num_heads
-                ),
+                "cross": cross,
             }
         )
     return {"blocks": blocks}
@@ -176,7 +178,7 @@ def decoder_step(
     Returns ``(decoder_out [B, 1, d], updated cache)``.
     """
     x = embedded_token
-    max_len = cache["blocks"][0]["self"]["k"].shape[1]
+    max_len = cache["blocks"][0]["self"]["k"].shape[-1]  # [B, H, Dh, L]
     # attend to cached positions <= step that hold valid tokens
     attend = jnp.arange(max_len)[None, :] <= step
     if key_valid_mask is not None:
