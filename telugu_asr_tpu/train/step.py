@@ -43,6 +43,7 @@ def _forward_loss(
     l2: float,
     pad_id: int,
     use_fused_featurizer: bool = False,
+    compute_dtype=None,
 ):
     augment = augmentation is not None and augmentation.enabled and not deterministic
     if use_fused_featurizer:
@@ -68,6 +69,16 @@ def _forward_loss(
     if augment:
         rng, kaug = jax.random.split(rng)
         features = augmentation.feature_augment(kaug, features, feat_lengths)
+    if compute_dtype is not None:
+        # Mixed precision: float32 master params, bfloat16 activations and
+        # weights in the forward/backward (MXU-native); loss and the Adam
+        # update stay float32.  Gradients flow through the casts back to the
+        # float32 masters automatically.
+        dtype = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params
+        )
+        features = features.astype(dtype)
     logits = model.apply(
         params,
         features,
@@ -94,11 +105,13 @@ def make_train_step(
     pad_id: int = 2,
     donate: bool = True,
     use_fused_featurizer: bool = False,
+    compute_dtype=None,
 ) -> Callable:
     """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
 
     ``batch``: ``{"audio" [B,N] f32, "audio_lengths" [B] i32,
     "shifted_right_text_inputs" [B,U] i32, "text_targets" [B,U] i32}``.
+    ``compute_dtype="bfloat16"`` enables mixed-precision forward/backward.
     """
 
     def step_fn(state: TrainState, batch: dict, rng: jax.Array):
@@ -117,6 +130,7 @@ def make_train_step(
                 l2=l2,
                 pad_id=pad_id,
                 use_fused_featurizer=use_fused_featurizer,
+                compute_dtype=compute_dtype,
             )
 
         (loss, ce), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -95,3 +95,24 @@ def test_dp_sharded_step_matches_single_device(setup):
     l2 = jax.tree_util.tree_leaves(state2.params)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mixed_precision_step(setup):
+    """bf16 compute path: runs, finite, and close to the f32 loss."""
+    _, model, params, opt, feat = setup
+    batch = make_batch()
+    step32 = make_train_step(model, opt, feat, global_batch_size=8, l2=0.0, donate=False)
+    step16 = make_train_step(
+        model, opt, feat, global_batch_size=8, l2=0.0, donate=False,
+        compute_dtype="bfloat16",
+    )
+    rng = jax.random.PRNGKey(3)
+    s32 = TrainState.create(params, opt)
+    s16 = TrainState.create(params, opt)
+    s32, m32 = step32(s32, batch, rng)
+    s16, m16 = step16(s16, batch, rng)
+    assert np.isfinite(float(m16["loss"]))
+    assert abs(float(m16["loss"]) - float(m32["loss"])) / float(m32["loss"]) < 0.05
+    # master params remain float32
+    for leaf in jax.tree_util.tree_leaves(s16.params):
+        assert leaf.dtype == jnp.float32

@@ -25,6 +25,10 @@ def main() -> None:
     parser.add_argument("--steps-per-epoch", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--base-dir", default=".", help="root for relative data paths")
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="mixed-precision training (bfloat16 compute, float32 masters)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -128,6 +132,7 @@ def main() -> None:
             global_batch_size=global_batch_size,
             l2=l2,
             use_fused_featurizer=use_fused,
+            compute_dtype="bfloat16" if args.bf16 else None,
         )
         eval_step = make_eval_step(
             model, featurizer, global_batch_size=global_batch_size, l2=l2
