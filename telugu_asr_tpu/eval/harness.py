@@ -15,9 +15,11 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from telugu_asr_tpu.audio.featurizer import SpeechFeaturizer
@@ -41,16 +43,28 @@ def predict_batches(
     tokens_per_second: float = 24.0,
     parity_unmasked_cross: bool = False,
     max_length_quantum: int = 8,
+    cache_dtype=None,
 ):
-    """Yield ``(entry_indices, hypothesis_texts, groundtruth_texts)`` per batch."""
+    """Yield ``(entry_indices, hypothesis_texts, groundtruth_texts)`` per batch.
+
+    Host→device audio ships as int16 (half the bytes of float32 — the
+    transfer, not compute, bounds end-to-end eval throughput) and the NEXT
+    batch's transfer is started before the current batch's tokens are read
+    back, overlapping I/O with decode.
+    """
+    import jax
+
     tokenizer = dataset.tokenizer
-    for inputs, labels, indices in dataset.batches(batch_size):
-        features, feat_lengths = featurizer(inputs["audio"], inputs["audio_lengths"])
-        max_len = default_max_length(
-            int(features.shape[1]), tokens_per_second=tokens_per_second
-        )
-        # Quantize the decode cap so bucketed batches share compiled programs.
-        max_len = ((max_len + max_length_quantum - 1) // max_length_quantum) * max_length_quantum
+
+    def to_device(inputs):
+        # PCM is inherently 16-bit; ship int16 and rescale on device.
+        pcm = np.clip(inputs["audio"] * 32768.0, -32768, 32767).astype(np.int16)
+        return jax.device_put(pcm), jax.device_put(inputs["audio_lengths"])
+
+    @partial(jax.jit, static_argnames=("max_len",))
+    def run(params, audio_i16, lengths, max_len):
+        audio = audio_i16.astype(jnp.float32) / 32768.0
+        features, feat_lengths = featurizer(audio, lengths)
         encoder_out, encoder_mask = model.encode(params, features, feat_lengths)
         tokens, _ = greedy_decode(
             model,
@@ -62,12 +76,35 @@ def predict_batches(
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id,
             parity_unmasked_cross=parity_unmasked_cross,
+            cache_dtype=cache_dtype,
         )
-        hyp = tokenizer.batch_decode(np.asarray(tokens).tolist(), skip_special_tokens=True)
-        ref = tokenizer.batch_decode(
-            np.asarray(labels["text_targets"]).tolist(), skip_special_tokens=True
+        return tokens
+
+    def launch(audio_i16, lengths):
+        num_frames = featurizer.get_nframes(audio_i16.shape[-1])
+        max_len = default_max_length(
+            int(num_frames), tokens_per_second=tokens_per_second
         )
-        yield indices, hyp, ref
+        max_len = ((max_len + max_length_quantum - 1) // max_length_quantum) * max_length_quantum
+        return run(params, audio_i16, lengths, max_len=max_len)
+
+    pending = None  # (indices, labels, tokens) awaiting readback
+    for inputs, labels, indices in dataset.batches(batch_size):
+        device_batch = to_device(inputs)
+        if pending is not None:
+            yield _finish(tokenizer, *pending)
+        tokens = launch(*device_batch)
+        pending = (indices, labels, tokens)
+    if pending is not None:
+        yield _finish(tokenizer, *pending)
+
+
+def _finish(tokenizer, indices, labels, tokens):
+    hyp = tokenizer.batch_decode(np.asarray(tokens).tolist(), skip_special_tokens=True)
+    ref = tokenizer.batch_decode(
+        np.asarray(labels["text_targets"]).tolist(), skip_special_tokens=True
+    )
+    return indices, hyp, ref
 
 
 def transducer_predict_batches(
