@@ -168,12 +168,16 @@ def _rnnt_fwd_impl(logits, labels, logit_lengths, label_lengths, blank_id):
         cols[:, : u1 - 1][:, None, :] < label_lengths[:, None, None], truth, LOG_EPS
     )
     alpha = _forward_alpha(blank, truth)
-    # logZ = alpha[T-1, U] + blank[T-1, U] at each example's true lengths
+    # logZ = alpha[T-1, U] + blank[T-1, U] at each example's true lengths.
+    # Rows with logit_length == 0 (DP batch padding) get zero loss — a
+    # negative index would otherwise wrap to the last row.
     idx_b = jnp.arange(b)
-    alpha_term = alpha[idx_b, logit_lengths - 1, label_lengths]
-    blank_term = blank[idx_b, logit_lengths - 1, label_lengths]
+    t_idx = jnp.maximum(logit_lengths - 1, 0)
+    alpha_term = alpha[idx_b, t_idx, label_lengths]
+    blank_term = blank[idx_b, t_idx, label_lengths]
     log_z = alpha_term + blank_term
-    return -log_z, (lp, blank, truth, alpha, log_z)
+    loss = jnp.where(logit_lengths > 0, -log_z, 0.0)
+    return loss, (lp, blank, truth, alpha, log_z)
 
 
 def _rnnt_fwd(logits, labels, logit_lengths, label_lengths, blank_id):

@@ -66,6 +66,8 @@ def fit(
     steps_per_epoch: Optional[int] = None,
     checkpoint_max_to_keep: Optional[int] = None,
     on_step: Optional[Callable[[int, dict], None]] = None,
+    metrics_logger=None,
+    log_every: int = 50,
 ) -> TrainState:
     """Run (or resume) training; returns the final state.
 
@@ -106,6 +108,10 @@ def fit(
             losses.append(metrics["loss"])
             if on_step is not None:
                 on_step(int(state.step), metrics)
+            if metrics_logger is not None and int(state.step) % log_every == 0:
+                metrics_logger.log(
+                    int(state.step), {k: float(v) for k, v in metrics.items()}
+                )
         train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
 
         val_loss = None
@@ -125,6 +131,11 @@ def fit(
             dt, steps_per_epoch,
         )
         csv_logger.log(epoch, train_loss, val_loss)
+        if metrics_logger is not None:
+            epoch_metrics = {"epoch_loss": train_loss}
+            if val_loss is not None:
+                epoch_metrics["val_loss"] = val_loss
+            metrics_logger.log(int(state.step), epoch_metrics)
         ckpt.save(epoch + 1, state)
 
     ckpt.wait()

@@ -139,3 +139,24 @@ def test_jit_compatible():
 
     out = f(jnp.asarray(logits), jnp.asarray(labels), jnp.asarray([T], jnp.int32), jnp.asarray([U], jnp.int32))
     assert np.isfinite(float(out[0]))
+
+
+def test_zero_length_rows_contribute_nothing():
+    """DP batch-padding rows (logit_length 0) must give zero loss and grads."""
+    T, U, V = 4, 2, 5
+    l1, lab1 = make_case(T, U, V, seed=11)
+    logits = np.concatenate([l1, l1], axis=0)
+    labels = np.concatenate([lab1, lab1], axis=0)
+    lt = jnp.asarray([T, 0], jnp.int32)
+    lu = jnp.asarray([U, 0], jnp.int32)
+
+    def f(x):
+        return rnnt_loss(x, jnp.asarray(labels), lt, lu)
+
+    loss = f(jnp.asarray(logits))
+    single = rnnt_loss(jnp.asarray(l1), jnp.asarray(lab1), jnp.asarray([T], jnp.int32), jnp.asarray([U], jnp.int32))
+    np.testing.assert_allclose(float(loss[0]), float(single[0]), rtol=1e-5)
+    assert float(loss[1]) == 0.0
+    grad = np.asarray(jax.grad(lambda x: jnp.sum(f(x)))(jnp.asarray(logits)))
+    assert np.all(grad[1] == 0.0)
+    assert np.any(grad[0] != 0.0)

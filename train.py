@@ -142,6 +142,14 @@ def main() -> None:
         "data", "logs", family if family != "moonshine" else "model",
         datetime.date.today().isoformat(),
     )
+    from telugu_asr_tpu.utils.metrics_writer import MetricsLogger
+
+    tb = dict(running.get("tensorboard", {}) or {})
+    metrics_logger = MetricsLogger(
+        csv_path=os.path.join(run_dir, "steps.csv"),
+        tensorboard_dir=os.path.join(run_dir, tb.get("log_dir", "tensorboard")),
+    )
+
     state = TrainState.create(params, optimizer, model_state)
     fit(
         train_step=train_step,
@@ -155,7 +163,9 @@ def main() -> None:
         seed=args.seed,
         mesh=mesh,
         steps_per_epoch=args.steps_per_epoch,
+        metrics_logger=metrics_logger,
     )
+    metrics_logger.close()
     logger.info("training complete; run dir: %s", run_dir)
 
 
