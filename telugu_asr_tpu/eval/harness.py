@@ -16,7 +16,7 @@ from __future__ import annotations
 import logging
 import time
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +52,6 @@ def predict_batches(
     batch's transfer is started before the current batch's tokens are read
     back, overlapping I/O with decode.
     """
-    import jax
-
     tokenizer = dataset.tokenizer
 
     def to_device(inputs):

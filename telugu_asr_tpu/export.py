@@ -18,7 +18,7 @@ raw PCM.
 from __future__ import annotations
 
 import logging
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 

@@ -7,8 +7,7 @@ mirror dataset_helpers.py:87-140 including global-batch DP scaling.
 """
 from __future__ import annotations
 
-import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
 from telugu_asr_tpu.configs import Config

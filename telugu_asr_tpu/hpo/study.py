@@ -17,9 +17,12 @@ the same capabilities self-contained:
 * JSON-file storage with ``load_if_exists`` resume semantics (stands in for
   the reference's ``sqlite:///`` URL).
 
-Trial parallelism: ``Study.optimize(n_jobs=...)`` fans trials over worker
-processes (one per TPU device subset via ``device_indices``) — the TPU-native
-answer to scaling this tiny model's HPO (SURVEY §2.2 "trial parallelism").
+Trial parallelism: trials are independent, so scaling over TPU devices means
+running one ``Study`` process per device/slice against the SAME shared
+storage file (each process's ``load_if_exists`` resume picks up the others'
+completed trials between its own) — the TPU-native answer to scaling this
+tiny model's HPO (SURVEY §2.2 "trial parallelism"); the reference's
+sequential ``study.optimize`` maps to a single process.
 """
 from __future__ import annotations
 
@@ -27,7 +30,6 @@ import dataclasses
 import json
 import math
 import os
-import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np

@@ -8,7 +8,7 @@ streaming numerator/denominator Keras metric (src/metrics/asr_metrics.py:4-28).
 """
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Sequence, Tuple
+from typing import Callable, Iterable, Sequence, Tuple
 
 __all__ = ["edit_distance", "wer", "cer", "ErrorRate"]
 

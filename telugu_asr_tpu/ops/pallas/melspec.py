@@ -23,7 +23,7 @@ preemphasis happen outside (they are one fused elementwise pass under jit).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

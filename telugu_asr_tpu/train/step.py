@@ -14,7 +14,6 @@ ce_loss.py:34-37).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import os
-from typing import Iterator, List, Optional, Union
+from typing import Iterator, List, Union
 
 __all__ = ["preprocess_paths", "save_file", "read_file", "is_hdf5_filepath"]
 
