@@ -3,14 +3,17 @@
 
 Per grid cell (example b, frame-tile t) the kernel:
 
-1. DMAs the tile's overlapping audio span (``FRAMES_PER_TILE`` frames ×
-   160-sample hop + 400-sample window) from HBM into VMEM;
-2. materializes frames WITHOUT a gather: with hop=160 and frame=400 sharing
-   the 80-sample atom (gcd), frame ``i`` is atoms ``[2i, 2i+5)``, so each of
-   the 5 chunk columns is a stride-2 reshape-slice of the atom view — pure
-   VMEM reshapes;
-3. windows (periodic Hann), then runs TWO MXU matmuls: frames[128,400] @
-   DFT[400,2*257] (real|imag) → power = re²+im² → @ mel[257,80];
+1. DMAs the tile's audio span from HBM into VMEM.  The host pre-arranges
+   audio into even/odd ATOM PLANES (atom = gcd(hop, frame) = 80 samples,
+   padded to 128 lanes for DMA alignment): with hop=160 and frame=400,
+   frame ``i``'s chunk ``j`` is plane ``j%2`` row ``i + j//2`` — every
+   chunk is a contiguous 2-D slice, no gather/strided access in-kernel;
+2. computes the windowed DFT as a SUM over the 5 atom chunks of
+   ``chunk_j[128, 128] @ DFTW_j[128, 2*257]`` (periodic-Hann window folded
+   into the DFT rows host-side; padding rows zero) accumulating in register
+   — MXU matmuls at ``Precision.HIGHEST`` (bf16 rounding under the DFT's
+   cancellation costs ~0.1 in log10 output);
+3. power = re²+im², then the mel matmul [128, 257] @ [257, 80];
 4. log10 with floor, zeroes frames ≥ the example's valid frame count, and
    applies SpecAugment bands (parameters sampled host-side per example so
    masks stay consistent across tiles) — all in-register before the single
