@@ -119,6 +119,14 @@ class ASRDataset:
             np.asarray(tokenizer.encode(t, add_special_tokens=True), np.int32)
             for _, _, t in self.entries
         ]
+        # Fail fast on ids outside the embedding table — an out-of-bounds
+        # lookup is a silent NaN on TPU, not an error.
+        for ids, (path, _, _) in zip(self._token_ids, self.entries):
+            if ids.size and int(ids.max()) >= tokenizer.vocab_size:
+                raise ValueError(
+                    f"token id {int(ids.max())} >= vocab_size {tokenizer.vocab_size} "
+                    f"for {path}"
+                )
         # Duration-sorted index for bucketing.
         self._sorted_idx = np.argsort([d for _, d, _ in self.entries], kind="stable")
         self.total_steps: Optional[int] = None

@@ -218,19 +218,29 @@ class TransducerTeluguTokenizer(BaseMatchTokenizer):
         return [self.blank_token_id] + list(token_ids)
 
 
-def make_default_tokenizer() -> TeluguTokenizer:
-    """The canonical training tokenizer.
+def _default_tokens() -> List[str]:
+    """Vendored vocabulary + the ``[" ", "."]`` extension, DEDUPLICATED.
 
-    Mirrors prepare_featurizers (dataset_helpers.py:76-81): mined vocabulary
-    extended with ``[" ", "."]`` — the vendored snapshot stands in for the
-    online gemma-2-2b extraction.
+    The reference extends its freshly-mined (Telugu-only) vocabulary with
+    ``" "`` and ``"."`` (dataset_helpers.py:78); the committed snapshot we
+    vendor ALREADY contains ``" "``, and blindly appending would leave a gap
+    in the id space (duplicate token ids are dict-overwritten, so
+    ``max_id == vocab_size`` — one past the embedding table, an
+    out-of-bounds lookup for any transcript containing the duplicate).
+    Dedup keeps ids dense: ``max_id == vocab_size - 1``.
     """
     tokens = load_vendored_telugu_tokens()
-    tokens.extend([" ", "."])
-    return TeluguTokenizer(tokens, model_max_length=None)
+    for extra in (" ", "."):
+        if extra not in tokens:
+            tokens.append(extra)
+    return tokens
+
+
+def make_default_tokenizer() -> TeluguTokenizer:
+    """The canonical training tokenizer (offline vocabulary, see
+    :func:`_default_tokens`)."""
+    return TeluguTokenizer(_default_tokens(), model_max_length=None)
 
 
 def make_transducer_tokenizer() -> TransducerTeluguTokenizer:
-    tokens = load_vendored_telugu_tokens()
-    tokens.extend([" ", "."])
-    return TransducerTeluguTokenizer(tokens, model_max_length=None)
+    return TransducerTeluguTokenizer(_default_tokens(), model_max_length=None)

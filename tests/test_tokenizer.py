@@ -78,3 +78,15 @@ def test_transducer_tokenizer():
     assert tok.blank_token_id == 0 and tok.unk_token_id == 1
     ids = tok.encode(GROUND_TRUTH, add_special_tokens=False)
     assert tok.decode(tok.prepend_blank(ids), skip_special_tokens=True) == GROUND_TRUTH
+
+
+def test_ids_dense_within_vocab():
+    """Every assignable id must be < vocab_size (embedding-table bound) —
+    regression for the vendored-vocab duplicate-space gap."""
+    for tok in (make_default_tokenizer(), make_transducer_tokenizer()):
+        ids = tok.get_vocab().values()
+        assert max(ids) == tok.vocab_size - 1
+        assert len(set(ids)) == tok.vocab_size
+    tok = make_default_tokenizer()
+    ids = tok.encode("కరెంటు బిల్లు.", add_special_tokens=True)
+    assert max(ids) < tok.vocab_size
