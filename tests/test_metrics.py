@@ -33,3 +33,21 @@ def test_telugu_cer():
     hyp = "కరెంటు బిల్లా"
     n, d = cer([hyp], [ref])
     assert n == 1 and d == len(ref)
+
+
+import os
+import pytest
+
+
+REFERENCE_ARTIFACT = "/root/reference/data/logs/model/2025-09-04/output.tsv"
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_ARTIFACT), reason="reference artifact not mounted")
+def test_metrics_match_jiwer_on_reference_artifact():
+    """Our pure-python WER/CER reproduce jiwer's values on the reference's
+    committed 2,224-row inference artifact (SURVEY §6: 0.664 / 0.364)."""
+    from telugu_asr_tpu.eval.harness import evaluate_results
+
+    metrics = evaluate_results(REFERENCE_ARTIFACT)
+    assert abs(metrics["greedy_wer"] - 0.664091) < 1e-4
+    assert abs(metrics["greedy_cer"] - 0.363993) < 1e-4
