@@ -90,3 +90,57 @@ def test_greedy_early_exit_on_eos():
 def test_default_max_length_law():
     # moonshine/model.py:233-234: duration*24 with duration from frame count
     assert default_max_length(998) == int((((998 - 1) * 160) + 400) / 16000 * 24)
+
+
+def test_greedy_matches_reference_style_parity_mode():
+    """Parity mode (unmasked cross-attention, the reference's greedy quirk)
+    against an eager reference-style decode with mask=None."""
+    cfg = tiny_config()
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(11))
+    feats = jax.random.normal(jax.random.PRNGKey(12), (2, 90, 8))
+    lengths = jnp.asarray([90, 64])
+    enc_out, enc_mask = model.encode(params, feats, lengths)
+
+    max_len = 10
+    # eager reference-style with NO cross mask
+    cfgd = model.cfg.decoder
+    ref = []
+    for b in range(2):
+        prefix, generated = [BOS], []
+        for _ in range(max_len):
+            toks = jnp.asarray([prefix])
+            out = decoder_apply(
+                params["decoder"], cfgd, model.embed(params, toks),
+                enc_out[b : b + 1], text_mask=(toks != PAD),
+                encoder_mask=None, use_causal_mask=True,
+            )
+            nxt = int(jnp.argmax(model.classify(params, out)[0, -1]))
+            generated.append(nxt)
+            if nxt == EOS:
+                break
+            prefix.append(nxt)
+        ref.append(generated)
+    ours, _ = greedy_decode(
+        model, params, enc_out, enc_mask, max_length=max_len,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, parity_unmasked_cross=True,
+    )
+    arr = np.asarray(ours)
+    for b, g in enumerate(ref):
+        np.testing.assert_array_equal(arr[b, : len(g)], g)
+
+
+def test_greedy_parity_across_seeds():
+    """Token-identical decode across several random models (max_len small)."""
+    for seed in [3, 4]:
+        cfg = tiny_config()
+        model = ASRModel(cfg)
+        params = model.init(jax.random.PRNGKey(seed))
+        feats = jax.random.normal(jax.random.PRNGKey(seed + 100), (2, 70, 8))
+        enc_out, enc_mask = model.encode(params, feats, jnp.asarray([70, 60]))
+        ref = reference_style_greedy(model, params, enc_out, enc_mask, 8)
+        ours, _ = greedy_decode(
+            model, params, enc_out, enc_mask, max_length=8,
+            bos_id=BOS, eos_id=EOS, pad_id=PAD,
+        )
+        np.testing.assert_array_equal(np.asarray(ours), ref)
