@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from telugu_asr_tpu.models.moonshine.decoder import decoder_init_cache, decoder_step
 from telugu_asr_tpu.models.moonshine.model import ASRModel
 
-__all__ = ["greedy_decode", "recognize", "default_max_length"]
+__all__ = ["greedy_decode", "greedy_decode_staged", "recognize", "default_max_length"]
 
 
 def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int = 400,
@@ -131,6 +131,51 @@ def greedy_decode(
         max_length,
     ).astype(jnp.int32)
     return generated, lengths
+
+
+def greedy_decode_staged(
+    model: ASRModel,
+    params: dict,
+    encoder_out: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    *,
+    max_length: int,
+    first_stage_cap: int = 128,
+    bos_id: int = 0,
+    eos_id: int = 1,
+    pad_id: int = 2,
+    parity_unmasked_cross: bool = False,
+    cache_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-stage greedy decode: per-step cost scales with the KV-cache
+    LENGTH (every step reads the whole padded cache), so decoding at the
+    worst-case ``duration*24`` cap wastes ~3x on typical utterances.  Stage 1
+    decodes at a small cap; only if some sequence hasn't emitted EOS does
+    stage 2 re-decode the batch at the full cap (one host sync between
+    stages).  Outputs are identical to single-stage decoding at
+    ``max_length`` padded/truncated to ``max_length`` columns.
+    """
+    kwargs = dict(
+        bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
+        parity_unmasked_cross=parity_unmasked_cross, cache_dtype=cache_dtype,
+    )
+    if max_length <= first_stage_cap:
+        return greedy_decode(
+            model, params, encoder_out, encoder_mask, max_length=max_length, **kwargs
+        )
+    tokens, lengths = greedy_decode(
+        model, params, encoder_out, encoder_mask, max_length=first_stage_cap, **kwargs
+    )
+    # host sync: did every sequence emit EOS within the first cap?
+    finished = bool(jnp.all(jnp.any(tokens == eos_id, axis=-1)))
+    if finished:
+        pad = jnp.full(
+            (tokens.shape[0], max_length - first_stage_cap), pad_id, tokens.dtype
+        )
+        return jnp.concatenate([tokens, pad], axis=-1), lengths
+    return greedy_decode(
+        model, params, encoder_out, encoder_mask, max_length=max_length, **kwargs
+    )
 
 
 def recognize(

@@ -144,3 +144,26 @@ def test_greedy_parity_across_seeds():
             bos_id=BOS, eos_id=EOS, pad_id=PAD,
         )
         np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_staged_decode_matches_plain():
+    from telugu_asr_tpu.decode.greedy import greedy_decode_staged
+
+    cfg = tiny_config()
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(21))
+    feats = jax.random.normal(jax.random.PRNGKey(22), (3, 80, 8))
+    enc_out, enc_mask = model.encode(params, feats, jnp.asarray([80, 70, 60]))
+    plain, _ = greedy_decode(
+        model, params, enc_out, enc_mask, max_length=20,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+    )
+    # stage cap below max: either all-finish-early (pad path) or re-decode
+    staged, _ = greedy_decode_staged(
+        model, params, enc_out, enc_mask, max_length=20, first_stage_cap=6,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+    )
+    assert staged.shape == plain.shape
+    # identical where the plain decode is within both caps
+    p, s = np.asarray(plain), np.asarray(staged)
+    np.testing.assert_array_equal(p, s)

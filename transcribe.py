@@ -47,7 +47,7 @@ def main() -> None:
     from telugu_asr_tpu.audio.io import read_wav_file
     from telugu_asr_tpu.configs import load_config
     from telugu_asr_tpu.decode.beam import beam_search_decode
-    from telugu_asr_tpu.decode.greedy import default_max_length, greedy_decode
+    from telugu_asr_tpu.decode.greedy import default_max_length, greedy_decode_staged
     from telugu_asr_tpu.helpers import prepare_featurizers
     from telugu_asr_tpu.models.moonshine.model import ASRModel, MoonshineConfig
     from telugu_asr_tpu.train.checkpoint import CheckpointManager
@@ -90,7 +90,9 @@ def main() -> None:
                 pad_id=tokenizer.pad_token_id,
             )
         else:
-            tokens, _ = greedy_decode(
+            # staged caps: trained models emit EOS early, so the common case
+            # pays the short-cache decode only
+            tokens, _ = greedy_decode_staged(
                 model, params, eo, em, max_length=max_len,
                 bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
                 pad_id=tokenizer.pad_token_id,
