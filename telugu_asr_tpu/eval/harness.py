@@ -178,6 +178,28 @@ def run_testing(
     return metrics
 
 
+def quick_val_wer(
+    model: ASRModel,
+    params: dict,
+    featurizer: SpeechFeaturizer,
+    dataset: ASRDataset,
+    batch_size: int,
+    max_batches: int = 2,
+) -> Dict[str, float]:
+    """Greedy WER/CER over a few validation batches — the per-epoch quality
+    signal the reference lacked (it tracked only val_loss, SURVEY §5)."""
+    wer_m = ErrorRate(wer, "val_wer")
+    cer_m = ErrorRate(cer, "val_cer")
+    for n, (_, hyps, refs) in enumerate(
+        predict_batches(model, params, featurizer, dataset, batch_size)
+    ):
+        wer_m.update_state(hyps, refs)
+        cer_m.update_state(hyps, refs)
+        if n + 1 >= max_batches:
+            break
+    return {"val_wer": wer_m.result(), "val_cer": cer_m.result()}
+
+
 def evaluate_results(filepath: str) -> Dict[str, float]:
     """Recompute WER/CER from a result TSV (app_util.py:11-34)."""
     metrics = {

@@ -66,6 +66,7 @@ def fit(
     steps_per_epoch: Optional[int] = None,
     checkpoint_max_to_keep: Optional[int] = None,
     on_step: Optional[Callable[[int, dict], None]] = None,
+    on_epoch: Optional[Callable[[TrainState, int], Optional[dict]]] = None,
     metrics_logger=None,
     log_every: int = 50,
 ) -> TrainState:
@@ -131,10 +132,15 @@ def fit(
             dt, steps_per_epoch,
         )
         csv_logger.log(epoch, train_loss, val_loss)
+        epoch_metrics = {"epoch_loss": train_loss}
+        if val_loss is not None:
+            epoch_metrics["val_loss"] = val_loss
+        if on_epoch is not None:
+            extra = on_epoch(state, epoch + 1)
+            if extra:
+                epoch_metrics.update(extra)
+                logger.info("epoch %d extras: %s", epoch + 1, extra)
         if metrics_logger is not None:
-            epoch_metrics = {"epoch_loss": train_loss}
-            if val_loss is not None:
-                epoch_metrics["val_loss"] = val_loss
             metrics_logger.log(int(state.step), epoch_metrics)
         ckpt.save(epoch + 1, state)
 

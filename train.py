@@ -29,6 +29,10 @@ def main() -> None:
         "--bf16", action="store_true",
         help="mixed-precision training (bfloat16 compute, float32 masters)",
     )
+    parser.add_argument(
+        "--val-wer-every", type=int, default=0,
+        help="compute greedy WER on validation batches every N epochs (0=off)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -150,6 +154,15 @@ def main() -> None:
         tensorboard_dir=os.path.join(run_dir, tb.get("log_dir", "tensorboard")),
     )
 
+    on_epoch = None
+    if args.val_wer_every > 0 and family == "moonshine":
+        from telugu_asr_tpu.eval.harness import quick_val_wer
+
+        def on_epoch(state, epoch):
+            if epoch % args.val_wer_every != 0:
+                return None
+            return quick_val_wer(model, state.params, featurizer, valid_ds, batch_size)
+
     state = TrainState.create(params, optimizer, model_state)
     fit(
         train_step=train_step,
@@ -164,6 +177,7 @@ def main() -> None:
         mesh=mesh,
         steps_per_epoch=args.steps_per_epoch,
         metrics_logger=metrics_logger,
+        on_epoch=on_epoch,
     )
     metrics_logger.close()
     logger.info("training complete; run dir: %s", run_dir)
