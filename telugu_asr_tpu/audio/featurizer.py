@@ -141,6 +141,12 @@ class SpeechFeaturizer:
         c = self.config
         n = signals.shape[-1]
         num_frames = max(int(self.get_nframes(n)), 0)
+        if c.pad_end:
+            # zero-pad so the last frame is fully in-bounds (tf.signal.stft
+            # pad_end semantics); JAX gather would otherwise CLAMP indices.
+            needed = (num_frames - 1) * c.frame_step + c.frame_length
+            if needed > n:
+                signals = jnp.pad(signals, [(0, 0)] * (signals.ndim - 1) + [(0, needed - n)])
         starts = np.arange(num_frames) * c.frame_step
         # Gather frames: [B, T, frame_length].  As static slicing this lowers
         # to an XLA gather that fuses with the windowing multiply.

@@ -78,3 +78,29 @@ def test_frame_count_law(featurizer):
     # reference speech_featurizer.py:163-166
     for n in [400, 401, 559, 560, 561, 16000]:
         assert featurizer.get_nframes(n) == 1 + (n - 400) // 160
+
+
+def test_pad_end_matches_tf():
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden", "featurizer_padend.npz"))
+    f = SpeechFeaturizer(
+        FeaturizerConfig(pad_end=True, normalize_signal=False, preemphasis=0.0)
+    )
+    sig = golden["padend_signal"]
+    feats, length = f(sig)
+    ref = golden["padend_logmel"]
+    assert int(length) == ref.shape[0] == -(-len(sig) // 160)
+    np.testing.assert_allclose(np.asarray(feats)[: ref.shape[0]], ref, atol=5e-3)
+
+
+def test_zscore_and_minmax_normalization_laws():
+    # normalize_zscore: per-frame over mel bins → mean 0, var ~1 (:81-85)
+    f = SpeechFeaturizer(FeaturizerConfig(normalize_zscore=True, normalize_signal=True))
+    sig = np.random.default_rng(0).standard_normal(8000).astype(np.float32)
+    feats, n = f(sig)
+    valid = np.asarray(feats)[: int(n)]
+    np.testing.assert_allclose(valid.mean(axis=-1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(valid.std(axis=-1), 1.0, atol=1e-2)
+    f2 = SpeechFeaturizer(FeaturizerConfig(normalize_min_max=True, normalize_signal=True))
+    feats2, n2 = f2(sig)
+    valid2 = np.asarray(feats2)[: int(n2)]
+    assert valid2.min() >= -1e-5 and valid2.max() <= 1 + 1e-5
