@@ -83,9 +83,15 @@ def convert_tflite(
     seconds: float = 5.46,
     text_len: int = 128,
     representative_dataset: Optional[Callable] = None,
+    optimize: bool = False,
 ) -> str:
-    """Convert the forward step to a .tflite flatbuffer (exec_helpers.py:41-58
-    settings: DEFAULT optimizations, SELECT_TF_OPS, optional int8)."""
+    """Convert the forward step to a .tflite flatbuffer.
+
+    ``optimize=False`` (default) produces a FLOAT32 artifact verified exact
+    against the JAX forward (~1e-6).  ``optimize=True`` applies the
+    reference's converter settings (``Optimize.DEFAULT`` dynamic-range int8,
+    exec_helpers.py:41-58; add ``representative_dataset`` for full int8) —
+    expect quantization error in the logits."""
     import tensorflow as tf
     from jax.experimental import jax2tf
 
@@ -106,7 +112,8 @@ def convert_tflite(
     converter = tf.lite.TFLiteConverter.from_concrete_functions(
         [tf_fn.get_concrete_function()]
     )
-    converter.optimizations = [tf.lite.Optimize.DEFAULT]
+    if optimize:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
     if representative_dataset is not None:
         converter.representative_dataset = representative_dataset
     converter.target_spec.supported_ops = [
