@@ -123,3 +123,17 @@ def test_fit_checkpoint_resume_and_eval(corpus, setup, tmp_path):
     assert metrics["rtfx"] > 0
     rerun = evaluate_results(out)
     assert abs(rerun["greedy_wer"] - metrics["greedy_wer"]) < 1e-9
+
+
+def test_quick_val_wer(corpus, setup):
+    from telugu_asr_tpu.eval.harness import quick_val_wer
+
+    tok, model, feat, opt = setup
+    ds = ASRDataset(
+        DatasetSpec(data_paths=[corpus], stage="eval", drop_remainder=False),
+        tok, audio_quantum=8000,
+    )
+    params = model.init(jax.random.PRNGKey(4))
+    metrics = quick_val_wer(model, params, feat, ds, batch_size=3, max_batches=1)
+    assert set(metrics) == {"val_wer", "val_cer"}
+    assert metrics["val_cer"] >= 0.0
