@@ -1,3 +1,4 @@
+from telugu_asr_tpu.hpo.launcher import launch_workers, probe_devices, worker_env
 from telugu_asr_tpu.hpo.study import (
     Study,
     SuccessiveHalvingPruner,
@@ -16,4 +17,7 @@ __all__ = [
     "Trial",
     "TrialPruned",
     "create_study",
+    "launch_workers",
+    "probe_devices",
+    "worker_env",
 ]

@@ -19,13 +19,20 @@ the same capabilities self-contained:
 
 Trial parallelism: trials are independent, so scaling over TPU devices means
 running one ``Study`` process per device/slice against the SAME shared
-storage file (each process's ``load_if_exists`` resume picks up the others'
-completed trials between its own) — the TPU-native answer to scaling this
-tiny model's HPO (SURVEY §2.2 "trial parallelism"); the reference's
-sequential ``study.optimize`` maps to a single process.
+storage file — the TPU-native answer to scaling this tiny model's HPO
+(SURVEY §2.2 "trial parallelism"); the reference's sequential
+``study.optimize`` maps to a single process.  Storage is safe for that:
+every save takes an exclusive ``flock`` on a sidecar lock file, re-reads the
+file, and merges by per-trial UID (union, own trials win), so concurrent
+workers never clobber each other; ``optimize`` re-syncs from disk before
+each trial so the TPE sampler and pruner see every worker's finished trials
+and ``n_trials`` acts as a GLOBAL budget across workers.  See
+``telugu_asr_tpu.hpo.launcher`` for the process launcher that pins workers
+to device subsets.
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import math
@@ -33,6 +40,11 @@ import os
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
+
+try:  # POSIX file locking (this image is linux; degrade gracefully elsewhere)
+    import fcntl
+except ImportError:  # pragma: no cover
+    fcntl = None
 
 __all__ = [
     "TrialPruned",
@@ -60,9 +72,13 @@ class _ParamSpec:
 
 
 class Trial:
-    def __init__(self, number: int, study: "Study", params: Optional[dict] = None):
+    def __init__(self, number: int, study: "Study", params: Optional[dict] = None,
+                 uid: Optional[str] = None):
         self.number = number
         self.study = study
+        # Cross-process identity: `number` can collide between concurrent
+        # workers (each numbers locally); `uid` never does.
+        self.uid = uid or f"{os.getpid()}-{os.urandom(4).hex()}"
         self.params: Dict[str, Any] = dict(params or {})
         self.intermediate: Dict[int, float] = {}
         self.state = "running"
@@ -202,7 +218,7 @@ class SuccessiveHalvingPruner:
                 mine = later[0]
             peers = []
             for other in study.trials:
-                if other.number == trial.number or not other.intermediate:
+                if other.uid == trial.uid or not other.intermediate:
                     continue
                 vals = [v for s, v in other.intermediate.items() if s >= rung]
                 if vals:
@@ -236,41 +252,77 @@ class Study:
             self._load()
 
     # -- storage -------------------------------------------------------------
-    def _load(self) -> None:
+    @contextlib.contextmanager
+    def _lock(self):
+        """Exclusive advisory lock on a sidecar file, serializing the
+        read-merge-write cycle across concurrent worker processes."""
+        if not (self.storage and fcntl):
+            yield
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(self.storage)) or ".", exist_ok=True)
+        with open(self.storage + ".lock", "a+") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
+    def _merge_from_disk(self) -> None:
+        """Fold trials other processes persisted into memory (union by uid;
+        in-memory versions win for uids this process owns)."""
         if not (self.storage and os.path.exists(self.storage)):
             return
         with open(self.storage, "r", encoding="utf-8") as f:
-            data = json.load(f)
+            try:
+                data = json.load(f)
+            except json.JSONDecodeError:  # mid-write without flock (non-POSIX)
+                return
+        known = {t.uid for t in self.trials}
         for td in data.get("trials", []):
-            t = Trial(td["number"], self, td["params"])
+            uid = td.get("uid") or f"legacy-{td['number']}"
+            if uid in known:
+                continue
+            t = Trial(td["number"], self, td["params"], uid=uid)
             t.state = td["state"]
             t.value = td.get("value")
             t.intermediate = {int(k): v for k, v in td.get("intermediate", {}).items()}
             t.user_attrs = td.get("user_attrs", {})
             self.trials.append(t)
+        self.trials.sort(key=lambda t: t.number)
+
+    def _load(self) -> None:
+        with self._lock():
+            self._merge_from_disk()
+
+    def sync(self) -> None:
+        """Pick up trials completed by concurrent workers (no-op when alone)."""
+        self._load()
 
     def _save(self) -> None:
         if not self.storage:
             return
-        os.makedirs(os.path.dirname(os.path.abspath(self.storage)), exist_ok=True)
-        data = {
-            "study_name": self.study_name,
-            "trials": [
-                {
-                    "number": t.number,
-                    "state": t.state,
-                    "value": t.value,
-                    "params": t.params,
-                    "intermediate": t.intermediate,
-                    "user_attrs": t.user_attrs,
-                }
-                for t in self.trials
-            ],
-        }
-        tmp = self.storage + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(data, f, indent=1)
-        os.replace(tmp, self.storage)
+        with self._lock():
+            # union with whatever other workers wrote since our last look
+            self._merge_from_disk()
+            data = {
+                "study_name": self.study_name,
+                "trials": [
+                    {
+                        "number": t.number,
+                        "uid": t.uid,
+                        "state": t.state,
+                        "value": t.value,
+                        "params": t.params,
+                        "intermediate": t.intermediate,
+                        "user_attrs": t.user_attrs,
+                    }
+                    for t in self.trials
+                ],
+            }
+            tmp = f"{self.storage}.tmp.{os.getpid()}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(data, f, indent=1)
+            os.replace(tmp, self.storage)
 
     def _register_spec(self, name: str, spec: _ParamSpec) -> None:
         self._specs.setdefault(name, spec)
@@ -298,9 +350,20 @@ class Study:
         callbacks: Sequence[Callable] = (),
         catch: tuple = (),
     ) -> None:
-        completed = sum(1 for t in self.trials if t.state in ("complete", "pruned", "failed"))
-        while completed < n_trials:
-            trial = Trial(len(self.trials), self)
+        """Run trials until the study holds ``n_trials`` finished ones.
+
+        With shared storage the count is GLOBAL: concurrent workers' finished
+        trials (synced from disk before every new trial, so TPE/pruning also
+        condition on them) count toward the budget, mirroring Optuna's
+        distributed ``study.optimize`` semantics over RDB storage.
+        """
+        while True:
+            self.sync()
+            done = sum(1 for t in self.trials if t.state in ("complete", "pruned", "failed"))
+            if done >= n_trials:
+                break
+            number = max((t.number for t in self.trials), default=-1) + 1
+            trial = Trial(number, self)
             self.trials.append(trial)
             try:
                 value = objective(trial)
@@ -312,7 +375,6 @@ class Study:
                     trial.value = min(trial.intermediate.values())
             except catch:
                 trial.state = "failed"
-            completed += 1
             self._save()
             for cb in callbacks:
                 cb(self, trial)

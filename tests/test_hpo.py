@@ -100,6 +100,82 @@ def test_reference_search_space_and_budget_gate():
     assert all(hp["d_model"] % hp["head_dim"] == 0 for hp in seen)
 
 
+def test_concurrent_workers_merge_storage(tmp_path):
+    """Two worker processes share one storage file: nothing is lost, the
+    global n_trials budget is honored, and samplers see each other's trials."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "study.json")
+    worker = (
+        "import sys\n"
+        "from telugu_asr_tpu.hpo import RandomSampler, create_study\n"
+        "def obj(trial):\n"
+        "    x = trial.suggest_float('x', -5.0, 5.0)\n"
+        "    return (x - 1.0) ** 2\n"
+        f"study = create_study('t', storage={path!r},"
+        " sampler=RandomSampler(seed=int(sys.argv[1])))\n"
+        "study.optimize(obj, n_trials=12)\n"
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, str(seed)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for seed in (0, 1)
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+
+    study = create_study("t", storage=path)
+    done = [t for t in study.trials if t.state == "complete"]
+    # Both workers ran until the GLOBAL count reached 12.  Each may overshoot
+    # by at most the one trial it had in flight when the other finished the
+    # budget, and no trial may be lost to a storage race.
+    assert 12 <= len(done) <= 13
+    assert len({t.uid for t in study.trials}) == len(study.trials)
+    assert study.best_value is not None
+
+
+def test_worker_env_pinning():
+    from telugu_asr_tpu.hpo import worker_env
+
+    cpu = worker_env(0, "cpu", devices_per_worker=2, base_env={"XLA_FLAGS": "--foo"})
+    assert cpu["JAX_PLATFORMS"] == "cpu"
+    assert "--xla_force_host_platform_device_count=2" in cpu["XLA_FLAGS"]
+    assert "--foo" in cpu["XLA_FLAGS"]
+
+    tpu = worker_env(1, "tpu", device_ids=[2, 3], base_env={})
+    assert tpu["TPU_VISIBLE_DEVICES"] == "2,3"
+    assert tpu["TPU_PROCESS_BOUNDS"] == "1,1,1"
+    assert tpu["TELUGU_ASR_HPO_WORKER"] == "1"
+
+
+def test_parallel_launcher_end_to_end(tmp_path):
+    """launch_workers drives two CPU-pinned workers to a shared study."""
+    import sys
+
+    from telugu_asr_tpu.hpo import create_study, launch_workers, worker_env
+
+    path = str(tmp_path / "study.json")
+    worker = (
+        "import sys\n"
+        "from telugu_asr_tpu.hpo import RandomSampler, create_study\n"
+        "def obj(trial):\n"
+        "    return trial.suggest_float('x', 0.0, 1.0)\n"
+        f"study = create_study('t', storage={path!r},"
+        " sampler=RandomSampler(seed=int(sys.argv[1])))\n"
+        "study.optimize(obj, n_trials=6)\n"
+    )
+    argvs = [[sys.executable, "-c", worker, str(i)] for i in range(2)]
+    envs = [worker_env(i, "cpu", devices_per_worker=1) for i in range(2)]
+    codes = launch_workers(argvs, envs, log_dir=str(tmp_path / "workers"))
+    assert codes == [0, 0]
+    study = create_study("t", storage=path)
+    assert len([t for t in study.trials if t.state == "complete"]) >= 6
+
+
 def test_param_budget_enforced():
     from telugu_asr_tpu.models.moonshine.model import ASRModel, MoonshineConfig
 
