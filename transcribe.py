@@ -26,6 +26,11 @@ def main() -> None:
     parser.add_argument("--checkpoint-step", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--beam", type=int, default=1, help="beam size (1 = greedy)")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="serve int8-quantized weights (symmetric per-channel; the on-TPU "
+        "analog of the reference's TFLite dynamic-range quantization)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.WARNING)
@@ -61,6 +66,21 @@ def main() -> None:
     else:
         print("WARNING: no checkpoint; random weights", file=sys.stderr)
         params = model.init(jax.random.PRNGKey(42))
+
+    if args.int8:
+        from telugu_asr_tpu.ops.quant import (
+            dequantize_pytree,
+            pytree_num_bytes,
+            quantize_pytree,
+        )
+
+        qparams = quantize_pytree(params)
+        print(
+            f"int8 weights: {pytree_num_bytes(params)/1e6:.2f} MB -> "
+            f"{pytree_num_bytes(qparams)/1e6:.2f} MB at rest",
+            file=sys.stderr,
+        )
+        params = dequantize_pytree(qparams)
 
     # load + duration-sort + bucket
     waves = []
