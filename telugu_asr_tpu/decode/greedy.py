@@ -29,10 +29,32 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from telugu_asr_tpu.models.moonshine.decoder import decoder_init_cache, decoder_step
+from telugu_asr_tpu.models.moonshine.decoder import (
+    decoder_init_cache,
+    decoder_init_cache_tiled,
+    decoder_step,
+    decoder_step_tiled,
+)
 from telugu_asr_tpu.models.moonshine.model import ASRModel
 
 __all__ = ["greedy_decode", "greedy_decode_staged", "recognize", "default_max_length"]
+
+
+def _resolve_attention_impl(attention_impl: Optional[str]) -> str:
+    """``None``/"auto" → "xla".
+
+    The "tiled" path (Pallas prefix-read attention over tiled caches) is
+    opt-in: its kernel beats the full-cache einsum per call (17–21 µs vs
+    33–42 µs on partial prefixes, v5e), but 12 separate kernel launches per
+    decode step cost ~58 µs each in launch/sync overhead inside the scan, so
+    end-to-end it measures ~3× SLOWER (1.19 ms vs 0.30 ms per step, B=64
+    flagship).  It stays as the groundwork/reference for the fused
+    whole-step decoder kernel, which amortizes the launch cost.  On CPU,
+    "tiled" runs the identical math through the jnp reference path (used by
+    tests for token-level parity)."""
+    if attention_impl in ("xla", "tiled"):
+        return attention_impl
+    return "xla"
 
 
 def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int = 400,
@@ -52,6 +74,7 @@ def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int
         "pad_id",
         "parity_unmasked_cross",
         "cache_dtype",
+        "attention_impl",
     ),
 )
 def greedy_decode(
@@ -66,12 +89,19 @@ def greedy_decode(
     pad_id: int = 2,
     parity_unmasked_cross: bool = False,
     cache_dtype: Optional[str] = None,
+    attention_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
 
     ``tokens`` holds the generated sequence (EOS inclusive) padded with PAD,
     exactly the layout ``_perform_greedy_batch`` stacks (:147-163).
+
+    ``attention_impl``: "xla" (full-cache einsum reads, the default),
+    "tiled" (opt-in Pallas prefix-read attention over tiled caches — less
+    HBM traffic per call but slower end-to-end from per-launch overhead;
+    see :func:`_resolve_attention_impl`), or None/"auto" → "xla".
     """
+    impl = _resolve_attention_impl(attention_impl)
     cfg = model.cfg.decoder
     batch = encoder_out.shape[0]
     cross_mask = None if parity_unmasked_cross else encoder_mask
@@ -79,10 +109,49 @@ def greedy_decode(
     # scores/softmax stay float32 inside the attention op either way.
     dtype = jnp.dtype(cache_dtype) if cache_dtype else encoder_out.dtype
     # +1: position 0 holds BOS; generated tokens live at 1..max_length.
-    cache = decoder_init_cache(params["decoder"], cfg, encoder_out, max_length + 1,
-                               dtype=dtype)
+    if impl == "tiled":
+        from telugu_asr_tpu.ops.pallas.decode_attention import TILE
 
-    tokens0 = jnp.full((batch, max_length + 1), pad_id, jnp.int32)
+        use_pallas = jax.default_backend() not in ("cpu",)
+        token_cols = -(-(max_length + 1) // TILE) * TILE
+        cache = decoder_init_cache_tiled(
+            params["decoder"], cfg, encoder_out, max_length + 1, dtype=dtype
+        )
+        t_enc = encoder_out.shape[1]
+        t_pad = cache["blocks"][0]["cross"]["k"].shape[1] * TILE
+        enc_cols = jnp.arange(t_pad)[None, :]
+        if parity_unmasked_cross:
+            # reference quirk: greedy passes NO cross mask (model.py:192) —
+            # queries attend every encoder position incl. feature padding
+            cross_n_valid = jnp.full((batch,), t_enc, jnp.int32)
+            cross_key_valid = (enc_cols < t_enc).astype(jnp.int32) * jnp.ones(
+                (batch, 1), jnp.int32
+            )
+            cross_q_uniform = None
+        else:
+            cross_n_valid = jnp.sum(encoder_mask.astype(jnp.int32), axis=-1)
+            cross_key_valid = jnp.pad(
+                encoder_mask.astype(jnp.int32), [(0, 0), (0, t_pad - t_enc)]
+            )
+            # Keras additive-mask law: in a row whose keys are ALL masked (a
+            # zero-length encoding) every score gets -1e9 added, which ABSORBS
+            # the score in float32 (ulp(1e9)=64) — the softmax is exactly
+            # UNIFORM over every encoder position.  Reproduce by lifting such
+            # rows to the full t_enc width AND zeroing their cross query
+            # (softmax of all-zero scores == uniform).
+            empty = cross_n_valid == 0
+            cross_n_valid = jnp.where(empty, t_enc, cross_n_valid)
+            cross_key_valid = jnp.where(
+                empty[:, None], (enc_cols < t_enc).astype(jnp.int32), cross_key_valid
+            )
+            cross_q_uniform = empty
+    else:
+        token_cols = max_length + 1
+        cache = decoder_init_cache(
+            params["decoder"], cfg, encoder_out, max_length + 1, dtype=dtype
+        )
+
+    tokens0 = jnp.full((batch, token_cols), pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(bos_id)
     finished0 = jnp.zeros((batch,), bool)
 
@@ -102,15 +171,29 @@ def greedy_decode(
         key_valid = jnp.where(
             (current == pad_id)[:, None], True, tokens != pad_id
         )
-        dec_out, cache = decoder_step(
-            params["decoder"],
-            cfg,
-            embedded,
-            cache,
-            step,
-            key_valid_mask=key_valid,
-            encoder_mask=cross_mask,
-        )
+        if impl == "tiled":
+            dec_out, cache = decoder_step_tiled(
+                params["decoder"],
+                cfg,
+                embedded,
+                cache,
+                step,
+                key_valid=key_valid,
+                cross_n_valid=cross_n_valid,
+                cross_key_valid=cross_key_valid,
+                cross_q_uniform=cross_q_uniform,
+                use_pallas=use_pallas,
+            )
+        else:
+            dec_out, cache = decoder_step(
+                params["decoder"],
+                cfg,
+                embedded,
+                cache,
+                step,
+                key_valid_mask=key_valid,
+                encoder_mask=cross_mask,
+            )
         logits = model.classify(params, dec_out)[:, 0, :]
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Finished rows emit PAD from here on.
@@ -122,7 +205,7 @@ def greedy_decode(
     _, tokens, finished, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), tokens0, finished0, cache)
     )
-    generated = tokens[:, 1:]  # strip the BOS slot
+    generated = tokens[:, 1 : max_length + 1]  # strip the BOS slot
     # length = up to and including the first EOS; max_length if none emitted
     is_eos = generated == eos_id
     lengths = jnp.where(
@@ -146,6 +229,7 @@ def greedy_decode_staged(
     pad_id: int = 2,
     parity_unmasked_cross: bool = False,
     cache_dtype=None,
+    attention_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Two-stage greedy decode: per-step cost scales with the KV-cache
     LENGTH (every step reads the whole padded cache), so decoding at the
@@ -158,6 +242,7 @@ def greedy_decode_staged(
     kwargs = dict(
         bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
         parity_unmasked_cross=parity_unmasked_cross, cache_dtype=cache_dtype,
+        attention_impl=attention_impl,
     )
     if max_length <= first_stage_cap:
         return greedy_decode(

@@ -36,6 +36,8 @@ __all__ = [
     "decoder_apply",
     "decoder_init_cache",
     "decoder_step",
+    "decoder_init_cache_tiled",
+    "decoder_step_tiled",
 ]
 
 
@@ -211,4 +213,158 @@ def decoder_step(
         )
         x = ffn_module_apply(block["ffn"], x, cfg.activation)
         new_blocks.append({"self": new_self, "cross": bcache["cross"]})
+    return x, {"blocks": new_blocks}
+
+
+# ---------------------------------------------------------------------------
+# Tiled-cache incremental decoding (Pallas prefix-read attention)
+# ---------------------------------------------------------------------------
+#
+# Same function as decoder_step, but KV caches are stored in the tiled layout
+# ``[B, T, H, Dh, 128]`` consumed by ops/pallas/decode_attention, which reads
+# only the time-tiles covering the live prefix — the decode loop is HBM-bound
+# on cache reads (~2.07 us per cached column per step measured on v5e), so
+# prefix-only reads cut the dominant cost ~2x on average, and bf16 caches
+# halve it again.  On non-TPU backends the same tiled code path runs through
+# the jnp reference implementation (identical math, full reads).
+
+
+def _project_heads(x: jnp.ndarray, kernel: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """``[B, 1, d] @ kernel -> [B, H, Dh]`` (single decode position)."""
+    b = x.shape[0]
+    inner = kernel.shape[-1]
+    y = (x[:, 0, :] @ kernel).reshape(b, num_heads, inner // num_heads)
+    return y
+
+
+def _rope_step(x: jnp.ndarray, step: jnp.ndarray, inv_freq: jnp.ndarray, rot_dim: int) -> jnp.ndarray:
+    """RoPE for one position: ``x [B, H, Dh]`` rotated at absolute ``step``."""
+    from telugu_asr_tpu.ops.rope import apply_rope
+
+    positions = jnp.full((x.shape[0], 1), step, dtype=jnp.int32)
+    return apply_rope(x[:, None, :, :], positions, inv_freq, rot_dim)[:, 0]
+
+
+def decoder_init_cache_tiled(
+    params: dict,
+    cfg: DecoderConfig,
+    encoder_out: jnp.ndarray,
+    max_len: int,
+    dtype=jnp.float32,
+) -> dict:
+    """Tiled caches: zeroed self K/V ``[B, T, H, Dh, 128]`` + precomputed
+    cross K/V tiled from the encoder output (time axis padded to 128)."""
+    from telugu_asr_tpu.ops.pallas.decode_attention import TILE, tile_cache
+
+    batch = encoder_out.shape[0]
+    lpad = -(-max_len // TILE) * TILE
+    blocks = []
+    for block in params["blocks"]:
+        cross = make_cross_attention_cache(
+            block["cross_attention"]["mha"], encoder_out, cfg.num_heads
+        )
+        t_enc = cross["k"].shape[-1]
+        t_pad = -(-t_enc // TILE) * TILE
+        cross = {
+            k: tile_cache(
+                jnp.pad(v, [(0, 0)] * 3 + [(0, t_pad - t_enc)]).astype(dtype)
+            )
+            for k, v in cross.items()
+        }
+        self_shape = (batch, lpad // TILE, cfg.num_heads, cfg.head_dim, TILE)
+        blocks.append(
+            {
+                "self": {
+                    "k": jnp.zeros(self_shape, dtype),
+                    "v": jnp.zeros(self_shape, dtype),
+                },
+                "cross": cross,
+            }
+        )
+    return {"blocks": blocks}
+
+
+def _write_tiled_column(cache: jnp.ndarray, col: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
+    """Write ``col [B, H, Dh]`` at time index ``step`` of a tiled cache."""
+    from telugu_asr_tpu.ops.pallas.decode_attention import TILE
+
+    tile = step // TILE
+    lane = step % TILE
+    update = col[:, None, :, :, None].astype(cache.dtype)
+    return jax.lax.dynamic_update_slice(cache, update, (0, tile, 0, 0, lane))
+
+
+def decoder_step_tiled(
+    params: dict,
+    cfg: DecoderConfig,
+    embedded_token: jnp.ndarray,
+    cache: dict,
+    step: jnp.ndarray,
+    *,
+    key_valid: jnp.ndarray,
+    cross_n_valid: jnp.ndarray,
+    cross_key_valid: jnp.ndarray,
+    cross_q_uniform: Optional[jnp.ndarray] = None,
+    use_pallas: bool,
+) -> Tuple[jnp.ndarray, dict]:
+    """One decode step over tiled caches (same math as :func:`decoder_step`).
+
+    Args:
+      embedded_token: ``[B, 1, d]`` at position ``step``.
+      key_valid: ``[B, Lpad]`` int/bool — self-attention key mask (the PAD
+        law incl. the lifted-PAD-query quirk, computed by the caller).
+      cross_n_valid: ``[B]`` int32 — encoder valid length per row (or the
+        full padded length in parity-unmasked mode).
+      cross_key_valid: ``[B, Tpad]`` int/bool.
+      cross_q_uniform: ``[B]`` bool — rows whose cross query is zeroed so
+        attention is exactly UNIFORM over the ``cross_key_valid`` columns.
+        Reproduces the Keras additive-mask law for a fully-masked row
+        (zero-length encoding): ``score - 1e9`` absorbs to ``-1e9`` exactly
+        in float32 (ulp(1e9)=64), so the reference softmax is uniform —
+        NOT a recovered softmax(scores).  The caller lifts such rows'
+        ``cross_key_valid`` to the true encoder width and sets this flag.
+      use_pallas: run the Mosaic kernel (TPU) or the jnp reference (CPU).
+    """
+    from telugu_asr_tpu.ops.pallas.decode_attention import decode_attention
+    from telugu_asr_tpu.ops.rope import rope_rot_dim
+
+    x = embedded_token
+    batch = x.shape[0]
+    n_valid_self = jnp.full((batch,), step + 1, jnp.int32)
+
+    new_blocks = []
+    for block, bcache in zip(params["blocks"], cache["blocks"]):
+        mha = block["masked_mhsa"]["mha"]
+        head_dim = cfg.head_dim
+        rot_dim = rope_rot_dim(head_dim)
+        inv_freq = mha["rope_inv_freq"]
+
+        q = _rope_step(_project_heads(x, mha["query_kernel"], cfg.num_heads), step, inv_freq, rot_dim)
+        k = _rope_step(_project_heads(x, mha["key_kernel"], cfg.num_heads), step, inv_freq, rot_dim)
+        v = _project_heads(x, mha["value_kernel"], cfg.num_heads)
+        k_cache = _write_tiled_column(bcache["self"]["k"], k, step)
+        v_cache = _write_tiled_column(bcache["self"]["v"], v, step)
+
+        attn = decode_attention(
+            q, k_cache, v_cache, n_valid_self, key_valid,
+            scale=1.0 / (head_dim ** 0.5), use_pallas=use_pallas,
+        )
+        attn = attn.reshape(batch, 1, cfg.num_heads * head_dim) @ mha["projection_kernel"]
+        x = layer_norm(block["masked_mhsa"]["ln"], x + attn)
+
+        cmha = block["cross_attention"]["mha"]
+        qc = _rope_step(_project_heads(x, cmha["query_kernel"], cfg.num_heads), step, inv_freq, rot_dim)
+        if cross_q_uniform is not None:
+            qc = jnp.where(cross_q_uniform[:, None, None], 0.0, qc)
+        cross = decode_attention(
+            qc, bcache["cross"]["k"], bcache["cross"]["v"], cross_n_valid,
+            cross_key_valid, scale=1.0 / (head_dim ** 0.5), use_pallas=use_pallas,
+        )
+        cross = cross.reshape(batch, 1, cfg.num_heads * head_dim) @ cmha["projection_kernel"]
+        x = layer_norm(block["cross_attention"]["ln"], x + cross)
+
+        x = ffn_module_apply(block["ffn"], x, cfg.activation)
+        new_blocks.append(
+            {"self": {"k": k_cache, "v": v_cache}, "cross": bcache["cross"]}
+        )
     return x, {"blocks": new_blocks}
