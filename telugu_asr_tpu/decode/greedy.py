@@ -40,20 +40,28 @@ from telugu_asr_tpu.models.moonshine.model import ASRModel
 __all__ = ["greedy_decode", "greedy_decode_staged", "recognize", "default_max_length"]
 
 
-def _resolve_attention_impl(attention_impl: Optional[str]) -> str:
-    """``None``/"auto" → "xla".
+def _resolve_attention_impl(attention_impl: Optional[str], cfg) -> str:
+    """``None``/"auto" → "fused" on TPU when the config supports it, else
+    "xla".
 
-    The "tiled" path (Pallas prefix-read attention over tiled caches) is
-    opt-in: its kernel beats the full-cache einsum per call (17–21 µs vs
-    33–42 µs on partial prefixes, v5e), but 12 separate kernel launches per
-    decode step cost ~58 µs each in launch/sync overhead inside the scan, so
-    end-to-end it measures ~3× SLOWER (1.19 ms vs 0.30 ms per step, B=64
-    flagship).  It stays as the groundwork/reference for the fused
-    whole-step decoder kernel, which amortizes the launch cost.  On CPU,
-    "tiled" runs the identical math through the jnp reference path (used by
-    tests for token-level parity)."""
-    if attention_impl in ("xla", "tiled"):
+    * "fused": ONE Pallas kernel runs the whole decode loop with weights and
+      KV caches VMEM-resident (ops/pallas/decode_fused.py) — measured
+      3.2× faster than "xla" on the B=64 flagship bucket (17.4 ms vs
+      55.9 ms, v5e).  Exact reference semantics; tokens can differ from
+      "xla" only at float-associativity argmax near-ties.
+    * "xla": the einsum/while_loop path — the portable reference.
+    * "tiled": opt-in Pallas prefix-read attention over tiled caches.  Its
+      kernel beats the full-cache einsum per call (17–21 µs vs 33–42 µs on
+      partial prefixes), but 12 separate launches per decode step cost
+      ~58 µs each in launch/sync overhead, so end-to-end it is ~3× slower;
+      kept as groundwork/reference.  On CPU, "tiled" runs the identical
+      math through the jnp reference path (used by tests)."""
+    if attention_impl in ("xla", "tiled", "fused"):
         return attention_impl
+    from telugu_asr_tpu.ops.pallas.decode_fused import fused_supported
+
+    if jax.default_backend() not in ("cpu",) and fused_supported(cfg):
+        return "fused"
     return "xla"
 
 
@@ -96,13 +104,32 @@ def greedy_decode(
     ``tokens`` holds the generated sequence (EOS inclusive) padded with PAD,
     exactly the layout ``_perform_greedy_batch`` stacks (:147-163).
 
-    ``attention_impl``: "xla" (full-cache einsum reads, the default),
-    "tiled" (opt-in Pallas prefix-read attention over tiled caches — less
-    HBM traffic per call but slower end-to-end from per-launch overhead;
-    see :func:`_resolve_attention_impl`), or None/"auto" → "xla".
+    ``attention_impl``: "fused" (whole-decode-loop Pallas kernel, the
+    default on TPU — 3.2× faster than "xla"), "xla" (full-cache einsum
+    reads, the portable reference and CPU default), "tiled" (opt-in Pallas
+    prefix-read attention; see :func:`_resolve_attention_impl`), or
+    None/"auto".
     """
-    impl = _resolve_attention_impl(attention_impl)
     cfg = model.cfg.decoder
+    impl = _resolve_attention_impl(attention_impl, cfg)
+    if impl == "fused":
+        from telugu_asr_tpu.ops.pallas.decode_fused import fused_greedy_decode
+
+        return fused_greedy_decode(
+            params["decoder"],
+            cfg,
+            encoder_out,
+            encoder_mask,
+            params["text_embedding"]["table"],
+            params["classifier"]["kernel"],
+            params["classifier"]["bias"],
+            max_length,
+            bos_id=bos_id,
+            eos_id=eos_id,
+            pad_id=pad_id,
+            parity_unmasked_cross=parity_unmasked_cross,
+            cache_dtype=cache_dtype,
+        )
     batch = encoder_out.shape[0]
     cross_mask = None if parity_unmasked_cross else encoder_mask
     # bfloat16 caches halve the per-step HBM traffic (the decode bottleneck);

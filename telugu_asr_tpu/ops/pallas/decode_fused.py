@@ -1,0 +1,543 @@
+"""Whole-decode-loop fused Pallas kernel for the Moonshine greedy decoder.
+
+ONE kernel launch runs the ENTIRE greedy decode (`decode/greedy.py`): the
+token `while_loop`, embedding lookup, all decoder blocks (RoPE MHA over a KV
+cache, cross-attention, SwiGLU FFN, post-LN), the classifier, argmax and the
+EOS/PAD bookkeeping — per reference semantics (src/models/moonshine/
+model.py:165-229, re-expressed as the cached single-step loop).
+
+Why: the decode loop is the serving bottleneck and is HBM-bandwidth-bound.
+The XLA step re-reads every block's full KV cache (self + cross) from HBM on
+every step (~75 MB/step for the B=64 flagship bucket — measured 452 µs/step
+f32, 268 µs/step bf16 on v5e), and splitting the step into per-site Pallas
+calls pays ~58 µs launch/sync overhead per call (ops/pallas/
+decode_attention.py).  This kernel keeps EVERYTHING resident in VMEM for a
+group of batch rows — weights loaded once, KV caches live in VMEM scratch
+across all steps (v5e has ~128 MB of VMEM; the flagship B=64 cell uses
+~75 MB) — so the steady state reads NO HBM at all and there is exactly one
+kernel launch per batch.
+
+Microarchitecture notes (v5e, Mosaic — numbers from in-kernel micro-probes):
+
+* Loop/branch iterations with VECTOR carries cost ~1.5 µs each, so the inner
+  attention runs as STRAIGHT-LINE code over static 32-column segments, each
+  wrapped in one `lax.cond` on prefix liveness; only the outer decode step
+  is a `while_loop` (scalar-dominated carries: ~20 ns/iter overhead).
+* Caches are TIME-MAJOR-OUTERMOST ``[blocks, L, R, D]``: Mosaic requires
+  dynamically-indexed stores to index only MAJOR dims, and the per-step
+  column write lands at a traced step index.
+* Scores are computed INFLATED ``[SEG, R, D]`` (each head's score replicated
+  across its head_dim lanes), which makes masking, exp and the probs·V
+  accumulation purely elementwise with cheap static major-dim trees.  The
+  head-group reduction (and simultaneous re-broadcast) is ONE MXU matmul
+  against a block-diagonal matrix of ones — lane-roll reduction trees
+  measured ~10× slower.  The matmul is split at 128-lane-tile boundaries
+  (off-diagonal quadrants of the ones matrix are all zero), halving its
+  cost; requires ``128 % head_dim == 0``.
+* ``precise_scores=True`` (default) keeps the f32 MXU path for the
+  head-sum, which is EXACT for this reduction (every product is × 1.0);
+  ``False`` rounds the q·k products to bfloat16 first — ~4% faster
+  end-to-end, for serving configs that already run bf16 caches.
+* RoPE's interleaved rotate-half is two lane rolls + an even/odd select with
+  a precomputed per-lane frequency vector (ops/rope.py laws).  Requires
+  rot_dim == head_dim (flagship head_dim=32: ``max(32//2, 32) == 32``).
+* SwiGLU's lane split is avoided by pre-splitting dense1's kernel into the
+  value/gate halves (each zero-padded to 128 lanes) on the host.
+* The Keras masked-softmax laws are reproduced exactly: the additive -1e9
+  mask (absorbing in f32), the lifted PAD-query quirk, and the
+  uniform-softmax law for zero-length encodings (cross query zeroed with
+  validity lifted to the true encoder width — decode/greedy.py).
+
+All other math is float32; K/V caches may be stored bfloat16
+(``cache_dtype``).  Token streams can differ from the XLA path only through
+float associativity at argmax near-ties (and bf16 rounding when the fast
+modes are on).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MASK_BIAS = -1e9
+SEG = 32  # time columns per attention segment (straight-line, cond-gated)
+LANE_TILE = 128
+_VMEM_BUDGET = 110 * 1024 * 1024  # v5e VMEM is ~128 MB
+
+__all__ = ["fused_greedy_decode", "fused_supported"]
+
+
+# ---------------------------------------------------------------------------
+# host-side constant builders
+# ---------------------------------------------------------------------------
+
+
+def _ones_block(d: int, head_dim: int) -> np.ndarray:
+    """Block-diagonal ones: matmul by it = per-head sum re-broadcast."""
+    m = np.zeros((d, d), np.float32)
+    for h in range(d // head_dim):
+        m[h * head_dim:(h + 1) * head_dim, h * head_dim:(h + 1) * head_dim] = 1.0
+    return m
+
+
+def _freq_lanes(d: int, head_dim: int, inv_freq: np.ndarray) -> np.ndarray:
+    """Per-lane RoPE angular frequency: lane f → inv_freq[(f % head_dim)//2]."""
+    f = np.arange(d)
+    return inv_freq[(f % head_dim) // 2][None, :].astype(np.float32)  # [1, d]
+
+
+def _even_mask(d: int) -> np.ndarray:
+    return (np.arange(d) % 2 == 0).astype(np.float32)[None, :]  # [1, d]
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+
+def _kernel(
+    # weights (resident: constant index maps)
+    emb,          # [Vp, D]
+    cls_w,        # [D, Vp]
+    cls_b,        # [1, Vp]  (pad lanes hold -1e30)
+    freq,         # [1, D]
+    evenm,        # [1, D]
+    onesb,        # [D, D] block-diagonal ones
+    wq, wk, wv, wo,      # [NB, D, D]
+    ln1g, ln1b,          # [NB, 1, D]
+    wcq, wco,            # [NB, D, D]
+    ln2g, ln2b,          # [NB, 1, D]
+    w1a, w1b_, b1a, b1b, # [NB, D, HP], [NB, D, HP], [NB, 1, HP], [NB, 1, HP]
+    w2, b2,              # [NB, HP, D], [NB, 1, D]
+    ln3g, ln3b,          # [NB, 1, D]
+    # per-cell
+    crossk, crossv,      # [NB, Tc, R, D]
+    cross_valid,         # [Tc, R, 1] float (1 = attend)
+    qzero,               # [1, R, 1] float (1 = zero the cross query)
+    # output
+    tok_ref,             # [Lp, R, 1] int32
+    # scratch
+    kself, vself,        # [NB, Lp, R, D] cache dtype
+    *,
+    n_blocks: int,
+    head_dim: int,
+    max_length: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    precise_scores: bool,
+):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = tok_ref.shape[1]
+    d = emb.shape[1]
+    vp = emb.shape[0]
+    tc = crossk.shape[1]
+    lp = tok_ref.shape[0]
+    scale = 1.0 / (head_dim ** 0.5)
+    n_self_segs = lp // SEG
+    n_cross_segs = tc // SEG
+
+    # 128-lane-tile spans of the block-diagonal ones matrix (off-diagonal
+    # tiles are zero, so the head-sum matmul runs per diagonal tile)
+    spans = [(i, min(i + LANE_TILE, d)) for i in range(0, d, LANE_TILE)]
+
+    def head_sums(g):
+        """[M, D] q·k products → per-head sums replicated per head (MXU)."""
+        outs = []
+        for lo, hi in spans:
+            gi = g[:, lo:hi]
+            oi = onesb[lo:hi, lo:hi]
+            if not precise_scores:
+                gi = gi.astype(jnp.bfloat16)
+                oi = oi.astype(jnp.bfloat16)
+            outs.append(jnp.dot(gi, oi, preferred_element_type=jnp.float32))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+    def rope(x, cos, sin):
+        # interleaved pairs: (x0, x1) → (x0 c - x1 s, x1 c + x0 s)
+        left = pltpu.roll(x, d - 1, axis=1)   # lane f ← f+1
+        right = pltpu.roll(x, 1, axis=1)      # lane f ← f-1
+        half = jnp.where(evenm[:] > 0, -left, right)
+        return x * cos + half * sin
+
+    def layer_norm(x, g, b):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + 1e-3) * g + b
+
+    def mm(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    def tree_max(x):
+        w = x.shape[0]
+        while w > 1:
+            w //= 2
+            x = jnp.maximum(x[:w], x[w:2 * w])
+        return x  # [1, R, D]
+
+    def flash_segment(q, kseg, vseg, valid, carry):
+        """One SEG-column online-softmax update.  q [R, D] pre-scaled;
+        kseg/vseg [SEG, R, D] f32; valid [SEG, R, 1] bool."""
+        m, den, acc = carry
+        g = kseg * q[None]
+        si = head_sums(g.reshape(SEG * r, d)).reshape(SEG, r, d)
+        si = jnp.where(valid, si, MASK_BIAS)
+        m2 = jnp.maximum(m, tree_max(si))
+        sc = jnp.exp(m - m2)
+        e = jnp.exp(si - m2)
+        ev = e * vseg
+        w = SEG
+        te, tv = e, ev
+        while w > 1:
+            w //= 2
+            te = te[:w] + te[w:2 * w]
+            tv = tv[:w] + tv[w:2 * w]
+        return m2, den * sc + te, acc * sc + tv
+
+    def flash_init():
+        return (
+            jnp.full((1, r, d), MASK_BIAS, jnp.float32),
+            jnp.zeros((1, r, d), jnp.float32),
+            jnp.zeros((1, r, d), jnp.float32),
+        )
+
+    col3 = jax.lax.broadcasted_iota(jnp.int32, (SEG, r, 1), 0)
+
+    # ---- per-cell init -----------------------------------------------------
+    tok_ref[:] = jnp.full(tok_ref.shape, pad_id, jnp.int32)
+    tok_ref[0:1] = jnp.full((1, r, 1), bos_id, jnp.int32)
+    # Zero the cache scratch: masked flash contributions multiply exp(-1e9-m)
+    # (exactly 0.0) by unwritten cache lanes — 0 × garbage-NaN would poison
+    # the accumulator (and argmax over NaNs silently returns 0).
+    kself[:] = jnp.zeros(kself.shape, kself.dtype)
+    vself[:] = jnp.zeros(vself.shape, vself.dtype)
+
+    # ---- decode loop -------------------------------------------------------
+    def body(carry):
+        s, finished = carry
+        cur = tok_ref[pl.ds(s, 1)][0]                      # [R, 1] int32
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (r, vp), 1) == cur)
+        x = mm(onehot.astype(jnp.float32), emb[:])          # [R, D]
+
+        ang = s.astype(jnp.float32) * freq[:]
+        cos = jnp.cos(ang)
+        sin = jnp.sin(ang)
+        cur_pad = (cur == pad_id)                           # [R, 1]
+
+        for b in range(n_blocks):
+            # -- masked self-attention over the cache ------------------------
+            q = rope(mm(x, wq[b]), cos, sin) * scale
+            k = rope(mm(x, wk[b]), cos, sin)
+            v = mm(x, wv[b])
+            kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
+            vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
+
+            carry_a = flash_init()
+            for si_ in range(n_self_segs):
+                def seg_fn(m_, d_, a_, si_=si_, b=b, q=q):
+                    kseg = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                    vseg = vself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                    tokc = tok_ref[si_ * SEG:(si_ + 1) * SEG]
+                    live = (col3 + si_ * SEG) <= s
+                    # PAD-query quirk: a PAD current token attends everything
+                    valid = live & ((tokc != pad_id) | cur_pad[None])
+                    return flash_segment(q, kseg, vseg, valid, (m_, d_, a_))
+
+                carry_a = jax.lax.cond(
+                    si_ * SEG <= s, seg_fn,
+                    lambda m_, d_, a_: (m_, d_, a_), *carry_a,
+                )
+            _, den, acc = carry_a
+            attn = acc[0] / den[0]
+            x = layer_norm(x + mm(attn, wo[b]), ln1g[b], ln1b[b])
+
+            # -- cross-attention over the encoder (fully static) -------------
+            qc = rope(mm(x, wcq[b]), cos, sin) * scale
+            qc = jnp.where(qzero[0] > 0, 0.0, qc)
+            carry_c = flash_init()
+            for si_ in range(n_cross_segs):
+                kseg = crossk[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                vseg = crossv[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                valid = cross_valid[si_ * SEG:(si_ + 1) * SEG] > 0
+                carry_c = flash_segment(qc, kseg, vseg, valid, carry_c)
+            _, den, acc = carry_c
+            cross = acc[0] / den[0]
+            x = layer_norm(x + mm(cross, wco[b]), ln2g[b], ln2b[b])
+
+            # -- SwiGLU FFN (dense1 pre-split into value/gate halves) --------
+            ha = mm(x, w1a[b]) + b1a[b]
+            hb = mm(x, w1b_[b]) + b1b[b]
+            ffn = mm(ha * (hb * jax.nn.sigmoid(hb)), w2[b]) + b2[b]
+            x = layer_norm(x + ffn, ln3g[b], ln3b[b])
+
+        logits = mm(x, cls_w[:]) + cls_b[:]                 # [R, Vp]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
+        nxt = jnp.where(finished > 0, pad_id, nxt)
+        tok_ref[pl.ds(s + 1, 1)] = nxt[None]
+        # int32 flags: bool vector while-carries fail Mosaic legalization
+        finished = jnp.maximum(finished, (nxt == eos_id).astype(jnp.int32))
+        return s + 1, finished
+
+    def cond(carry):
+        s, finished = carry
+        return (s < max_length) & (jnp.min(finished) < 1)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((r, 1), jnp.int32)))
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def fused_supported(cfg) -> bool:
+    """The kernel's structural preconditions (flagship config satisfies all)."""
+    from telugu_asr_tpu.ops.rope import rope_rot_dim
+
+    return (
+        cfg.num_heads * cfg.head_dim == cfg.d_model
+        and rope_rot_dim(cfg.head_dim) == cfg.head_dim
+        and cfg.head_dim % 2 == 0
+        and LANE_TILE % cfg.head_dim == 0
+        and cfg.activation == "swiglu"
+        and (cfg.d_model * cfg.fc_factor) % 2 == 0
+    )
+
+
+def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
+               cache_bytes: int, weight_bytes: int) -> int:
+    """Largest multiple-of-8 divisor of batch whose cell fits the VMEM budget
+    (Mosaic requires blocked sublane dims divisible by 8)."""
+    best = 8
+    for rows in range(8, batch + 1, 8):
+        if batch % rows:
+            continue
+        cell = (
+            2 * n_blocks * lp * rows * d * cache_bytes      # self K/V scratch
+            + 2 * n_blocks * tc * rows * d * cache_bytes    # cross K/V block
+            + 24 * SEG * rows * d * 4                       # flash temps (rough)
+        )
+        if weight_bytes + cell <= _VMEM_BUDGET:
+            best = rows
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "max_length", "bos_id", "eos_id", "pad_id",
+        "parity_unmasked_cross", "cache_dtype", "rows_per_cell",
+        "precise_scores", "interpret",
+    ),
+)
+def fused_greedy_decode(
+    params: dict,
+    cfg,
+    encoder_out: jnp.ndarray,
+    encoder_mask: Optional[jnp.ndarray],
+    embedding_table: jnp.ndarray,
+    classifier_kernel: jnp.ndarray,
+    classifier_bias: jnp.ndarray,
+    max_length: int,
+    *,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    parity_unmasked_cross: bool = False,
+    cache_dtype: Optional[str] = None,
+    rows_per_cell: Optional[int] = None,
+    precise_scores: bool = True,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the whole greedy decode in one Pallas kernel.
+
+    ``params`` is the DECODER param tree (``params["decoder"]`` of the model).
+    Returns ``(tokens [B, max_length], lengths [B])`` with the exact layout
+    and EOS/length laws of :func:`telugu_asr_tpu.decode.greedy.greedy_decode`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from telugu_asr_tpu.ops.attention import make_cross_attention_cache
+    from telugu_asr_tpu.ops.rope import rope_inv_freq
+
+    assert fused_supported(cfg), "config outside the fused kernel's support"
+    nb, d, h, dh = cfg.num_blocks, cfg.d_model, cfg.num_heads, cfg.head_dim
+    true_batch, t_enc, _ = encoder_out.shape
+    cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
+
+    # pad the batch to a multiple of 8 (Mosaic sublane-divisibility of blocks);
+    # padded rows have zero-length encodings (the uniform-softmax law) and are
+    # stripped from the output
+    batch = true_batch if interpret else _round_up(true_batch, 8)
+    if batch != true_batch:
+        pad_rows = [(0, batch - true_batch)]
+        encoder_out = jnp.pad(encoder_out, pad_rows + [(0, 0), (0, 0)])
+        if encoder_mask is not None:
+            encoder_mask = jnp.pad(encoder_mask, pad_rows + [(0, 0)])
+
+    lp = _round_up(max_length + 1, SEG)
+    tc = _round_up(t_enc, SEG)
+    vocab = embedding_table.shape[0]
+    vp = _round_up(vocab, LANE_TILE)
+
+    # ---- stacked weights ---------------------------------------------------
+    blocks = params["blocks"]
+
+    def stack(path):
+        return jnp.stack([functools.reduce(lambda t, k: t[k], path, blk)
+                          for blk in blocks])
+
+    wq = stack(["masked_mhsa", "mha", "query_kernel"])
+    wk = stack(["masked_mhsa", "mha", "key_kernel"])
+    wv = stack(["masked_mhsa", "mha", "value_kernel"])
+    wo = stack(["masked_mhsa", "mha", "projection_kernel"])
+    ln1g = stack(["masked_mhsa", "ln", "gamma"])[:, None, :]
+    ln1b = stack(["masked_mhsa", "ln", "beta"])[:, None, :]
+    wcq = stack(["cross_attention", "mha", "query_kernel"])
+    wco = stack(["cross_attention", "mha", "projection_kernel"])
+    ln2g = stack(["cross_attention", "ln", "gamma"])[:, None, :]
+    ln2b = stack(["cross_attention", "ln", "beta"])[:, None, :]
+
+    w1 = stack(["ffn", "dense1", "kernel"])     # [NB, D, HID]
+    b1 = stack(["ffn", "dense1", "bias"])       # [NB, HID]
+    w2r = stack(["ffn", "dense2", "kernel"])    # [NB, HID//2, D]
+    b2 = stack(["ffn", "dense2", "bias"])[:, None, :]
+    ln3g = stack(["ffn", "ln", "gamma"])[:, None, :]
+    ln3b = stack(["ffn", "ln", "beta"])[:, None, :]
+    hid = w1.shape[-1]
+    inner = hid // 2
+    hp = _round_up(inner, LANE_TILE)
+    pad_h = [(0, 0), (0, 0), (0, hp - inner)]
+    w1a = jnp.pad(w1[:, :, :inner], pad_h)
+    w1b_ = jnp.pad(w1[:, :, inner:], pad_h)
+    b1a = jnp.pad(b1[:, None, :inner], [(0, 0), (0, 0), (0, hp - inner)])
+    b1b = jnp.pad(b1[:, None, inner:], [(0, 0), (0, 0), (0, hp - inner)])
+    w2 = jnp.pad(w2r, [(0, 0), (0, hp - inner), (0, 0)])
+
+    emb = jnp.pad(embedding_table, [(0, vp - vocab), (0, 0)])
+    cls_w = jnp.pad(classifier_kernel, [(0, 0), (0, vp - vocab)])
+    cls_b = jnp.pad(classifier_bias[None, :], [(0, 0), (0, vp - vocab)],
+                    constant_values=-1e30)
+
+    inv_freq = np.asarray(rope_inv_freq(dh))
+    freq = jnp.asarray(_freq_lanes(d, dh, inv_freq))
+    evenm = jnp.asarray(_even_mask(d))
+    onesb = jnp.asarray(_ones_block(d, dh))
+
+    # ---- cross caches (time-major [NB, Tc, B, D]) --------------------------
+    cks, cvs = [], []
+    for blk in blocks:
+        cc = make_cross_attention_cache(
+            blk["cross_attention"]["mha"], encoder_out, h
+        )  # k/v: [B, H, Dh, T]
+        for arrs, kk in ((cks, "k"), (cvs, "v")):
+            a = cc[kk].reshape(batch, d, t_enc).transpose(2, 0, 1)  # [T, B, D]
+            arrs.append(jnp.pad(a, [(0, tc - t_enc), (0, 0), (0, 0)]))
+    crossk = jnp.stack(cks).astype(cdtype)
+    crossv = jnp.stack(cvs).astype(cdtype)
+
+    # ---- cross validity + the zero-length uniform-softmax law --------------
+    cols = jnp.arange(tc)[None, :]
+    if parity_unmasked_cross or encoder_mask is None:
+        cross_valid = jnp.broadcast_to((cols < t_enc), (batch, tc))
+        qzero = jnp.zeros((batch,), jnp.float32)
+    else:
+        em = encoder_mask.astype(bool)
+        n_valid = jnp.sum(em.astype(jnp.int32), axis=-1)
+        empty = n_valid == 0
+        base = jnp.pad(em, [(0, 0), (0, tc - t_enc)])
+        cross_valid = jnp.where(empty[:, None], cols < t_enc, base)
+        qzero = empty.astype(jnp.float32)
+    cross_valid_t = cross_valid.astype(jnp.float32).T[:, :, None]  # [Tc, B, 1]
+    qzero_t = qzero[None, :, None]                                 # [1, B, 1]
+
+    # ---- grid / specs ------------------------------------------------------
+    weight_bytes = sum(
+        int(np.prod(a.shape)) * 4
+        for a in (emb, cls_w, onesb, wq, wk, wv, wo, wcq, wco, w1a, w1b_, w2)
+    )
+    rows = rows_per_cell or _pick_rows(
+        batch, nb, d, lp, tc, cdtype.itemsize, weight_bytes
+    )
+    assert batch % rows == 0
+    n_cells = batch // rows
+
+    def const(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda c, _nd=nd: (0,) * _nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        const(emb.shape), const(cls_w.shape), const(cls_b.shape),
+        const(freq.shape), const(evenm.shape), const(onesb.shape),
+        const(wq.shape), const(wk.shape), const(wv.shape), const(wo.shape),
+        const(ln1g.shape), const(ln1b.shape),
+        const(wcq.shape), const(wco.shape),
+        const(ln2g.shape), const(ln2b.shape),
+        const(w1a.shape), const(w1b_.shape), const(b1a.shape), const(b1b.shape),
+        const(w2.shape), const(b2.shape),
+        const(ln3g.shape), const(ln3b.shape),
+        pl.BlockSpec((nb, tc, rows, d), lambda c: (0, 0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((nb, tc, rows, d), lambda c: (0, 0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, rows, 1), lambda c: (0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    kernel = functools.partial(
+        _kernel,
+        n_blocks=nb,
+        head_dim=dh,
+        max_length=max_length,
+        bos_id=bos_id,
+        eos_id=eos_id,
+        pad_id=pad_id,
+        precise_scores=precise_scores,
+    )
+
+    tokens3 = pl.pallas_call(
+        kernel,
+        grid=(n_cells,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((lp, rows, 1), lambda c: (0, c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lp, batch, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((nb, lp, rows, d), cdtype),
+            pltpu.VMEM((nb, lp, rows, d), cdtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        emb, cls_w, cls_b, freq, evenm, onesb,
+        wq, wk, wv, wo, ln1g, ln1b,
+        wcq, wco, ln2g, ln2b,
+        w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,
+        crossk, crossv, cross_valid_t, qzero_t,
+    )
+
+    tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]
+    generated = tokens[:, 1 : max_length + 1]
+    is_eos = generated == eos_id
+    lengths = jnp.where(
+        jnp.any(is_eos, axis=-1),
+        jnp.argmax(is_eos, axis=-1) + 1,
+        max_length,
+    ).astype(jnp.int32)
+    return generated, lengths

@@ -1,0 +1,98 @@
+"""Fused whole-decode-loop kernel (ops/pallas/decode_fused.py), interpret
+mode: token-level parity with the XLA greedy path across every mask-law mode.
+
+The classifier is scaled ×50 ("peaked") — argmax is invariant under positive
+scaling, so the expected token stream is unchanged while near-ties (where
+benign float-associativity differences could flip the argmax) are pushed far
+outside the paths' numeric difference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from telugu_asr_tpu.decode.greedy import greedy_decode
+from telugu_asr_tpu.models.moonshine.model import ASRModel
+from telugu_asr_tpu.ops.pallas.decode_fused import (
+    fused_greedy_decode,
+    fused_supported,
+)
+from tests.test_moonshine import tiny_config
+
+BOS, EOS, PAD = 0, 1, 2
+
+
+def _setup(zero_row=False, seed=0):
+    cfg = tiny_config()
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    params["classifier"]["kernel"] = params["classifier"]["kernel"] * 50.0
+    params["classifier"]["bias"] = params["classifier"]["bias"] * 50.0
+    feats = jax.random.normal(jax.random.PRNGKey(seed + 1), (4, 90, 8))
+    lengths = jnp.asarray([90, 40, 60, 25])
+    enc_out, enc_mask = model.encode(params, feats, lengths)
+    if zero_row:
+        enc_mask = enc_mask.at[3, :].set(False)
+    return model, params, enc_out, enc_mask
+
+
+def _fused(model, params, enc_out, enc_mask, max_length, **kw):
+    return fused_greedy_decode(
+        params["decoder"], model.cfg.decoder, enc_out, enc_mask,
+        params["text_embedding"]["table"],
+        params["classifier"]["kernel"], params["classifier"]["bias"],
+        max_length, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+        rows_per_cell=2, interpret=True, **kw)
+
+
+def test_fused_supported_flagship_shape():
+    assert fused_supported(tiny_config().decoder)
+
+
+@pytest.mark.parametrize("zero_row", [False, True])
+@pytest.mark.parametrize("parity_unmasked_cross", [False, True])
+def test_fused_token_parity(zero_row, parity_unmasked_cross):
+    if zero_row and parity_unmasked_cross:
+        pytest.skip("mask ignored in parity mode")
+    model, params, enc_out, enc_mask = _setup(zero_row)
+    kwargs = dict(max_length=12, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                  parity_unmasked_cross=parity_unmasked_cross)
+    tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                 attention_impl="xla", **kwargs)
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 12,
+                          parity_unmasked_cross=parity_unmasked_cross)
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_parity_across_seeds():
+    for seed in range(3):
+        model, params, enc_out, enc_mask = _setup(seed=seed * 10)
+        tok_x, len_x = greedy_decode(
+            model, params, enc_out, enc_mask,
+            max_length=10, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+        tok_f, len_f = _fused(model, params, enc_out, enc_mask, 10)
+        np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+        np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_eos_law():
+    """Force EOS as the argmax everywhere: every row must emit one EOS then
+    PAD, and lengths must be 1 (EOS inclusive)."""
+    model, params, enc_out, enc_mask = _setup()
+    params["classifier"]["bias"] = (
+        jnp.zeros_like(params["classifier"]["bias"]).at[EOS].set(1e6)
+    )
+    params["classifier"]["kernel"] = jnp.zeros_like(params["classifier"]["kernel"])
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 8)
+    want = np.full((4, 8), PAD, np.int32)
+    want[:, 0] = EOS
+    np.testing.assert_array_equal(np.asarray(tok_f), want)
+    np.testing.assert_array_equal(np.asarray(len_f), np.ones(4, np.int32))
+
+
+def test_fused_bf16_cache_runs():
+    model, params, enc_out, enc_mask = _setup()
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 6,
+                          cache_dtype="bfloat16", precise_scores=False)
+    assert tok_f.shape == (4, 6)
+    assert np.all(np.asarray(len_f) >= 1)
