@@ -373,6 +373,15 @@ def fused_greedy_decode(
     assert fused_supported(cfg), "config outside the fused kernel's support"
     nb, d, h, dh = cfg.num_blocks, cfg.d_model, cfg.num_heads, cfg.head_dim
     true_batch, t_enc, _ = encoder_out.shape
+    if cache_dtype is None and rows_per_cell is None:
+        # auto: f32 caches while the cell stays wide; long decode caps would
+        # shrink the batch-row group (more sequential cells, ~2× slower), so
+        # fall back to bf16 caches there.  Pass cache_dtype explicitly to pin.
+        lp_ = _round_up(max_length + 1, SEG)
+        tc_ = _round_up(t_enc, SEG)
+        b_ = true_batch if interpret else _round_up(true_batch, 8)
+        if _pick_rows(b_, nb, d, lp_, tc_, 4, 48 * d * d * nb) < 32:
+            cache_dtype = "bfloat16"
     cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
 
     # pad the batch to a multiple of 8 (Mosaic sublane-divisibility of blocks);
