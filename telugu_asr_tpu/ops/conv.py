@@ -63,16 +63,28 @@ def _same_pad_1d(length: int, kernel: int, stride: int) -> Tuple[int, int]:
 def _depthwise_conv1d(
     x: jnp.ndarray, kernel: jnp.ndarray, stride: int, padding
 ) -> jnp.ndarray:
-    """``x [B, T, C]``, ``kernel [k, C]`` → ``[B, T', C]``."""
-    channels = x.shape[-1]
-    return jax.lax.conv_general_dilated(
-        x,
-        kernel[:, None, :],  # (k, 1, C) in WIO with groups=C
-        window_strides=(stride,),
-        padding=padding,
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=channels,
-    )
+    """``x [B, T, C]``, ``kernel [k, C]`` → ``[B, T', C]``.
+
+    Implemented as k statically-unrolled shifted FMAs over a padded input
+    rather than ``lax.conv_general_dilated`` with ``feature_group_count=C``:
+    the grouped-conv lowering measured ~2× slower standalone on v5e, and —
+    much worse — fusing a transcendental (silu/sigmoid) onto its OUTPUT
+    triggered a pathological ~20× slowdown of the surrounding fusion
+    (3.02 ms vs 0.17 ms for the whole Conformer conv module at
+    [64, 137, 144]).  The unrolled form is plain VPU code that XLA fuses
+    normally, and the tap loop (k=31 flagship) is compile-time static.
+    """
+    k = kernel.shape[0]
+    (lo, hi) = padding[0]
+    t_out = (x.shape[1] + lo + hi - k) // stride + 1
+    if t_out <= 0:  # degenerate T < k valid conv (lax.conv's T'=0 law)
+        return jnp.zeros((x.shape[0], 0, x.shape[-1]), x.dtype)
+    xp = jnp.pad(x, [(0, 0), (lo, hi), (0, 0)])
+    span = (t_out - 1) * stride + 1
+    y = xp[:, 0:span:stride, :] * kernel[0]
+    for j in range(1, k):
+        y = y + xp[:, j : j + span : stride, :] * kernel[j]
+    return y
 
 
 # ---------------------------------------------------------------------------
