@@ -65,7 +65,7 @@ import numpy as np
 MASK_BIAS = -1e9
 SEG = 32  # time columns per attention segment (straight-line, cond-gated)
 LANE_TILE = 128
-_VMEM_BUDGET = 110 * 1024 * 1024  # v5e VMEM is ~128 MB
+_VMEM_BUDGET = 118 * 1024 * 1024  # v5e VMEM is ~128 MB
 
 __all__ = ["fused_greedy_decode", "fused_supported"]
 
@@ -316,15 +316,20 @@ def fused_supported(cfg) -> bool:
 def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
                cache_bytes: int, weight_bytes: int) -> int:
     """Largest multiple-of-8 divisor of batch whose cell fits the VMEM budget
-    (Mosaic requires blocked sublane dims divisible by 8)."""
+    (Mosaic requires blocked sublane dims divisible by 8).
+
+    Budget laws measured from Mosaic allocation dumps: the minor (lane) dim
+    is padded to a 128 multiple, and per-cell blocked INPUTS are
+    double-buffered across grid cells (scratch is single-buffered)."""
+    dp = _round_up(d, LANE_TILE)
     best = 8
     for rows in range(8, batch + 1, 8):
         if batch % rows:
             continue
         cell = (
-            2 * n_blocks * lp * rows * d * cache_bytes      # self K/V scratch
-            + 2 * n_blocks * tc * rows * d * cache_bytes    # cross K/V block
-            + 24 * SEG * rows * d * 4                       # flash temps (rough)
+            2 * n_blocks * lp * rows * dp * cache_bytes      # self K/V scratch
+            + 2 * 2 * n_blocks * tc * rows * dp * cache_bytes  # cross (dbl-buf)
+            + 12 * SEG * rows * dp * 4                       # flash temps (rough)
         )
         if weight_bytes + cell <= _VMEM_BUDGET:
             best = rows

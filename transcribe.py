@@ -31,6 +31,15 @@ def main() -> None:
         help="serve int8-quantized weights (symmetric per-channel; the on-TPU "
         "analog of the reference's TFLite dynamic-range quantization)",
     )
+    parser.add_argument(
+        "--streaming", action="store_true",
+        help="simulate live streaming: feed each file in chunks through "
+        "StreamingRecognizer and print partial transcripts as they revise",
+    )
+    parser.add_argument(
+        "--chunk-ms", type=int, default=200,
+        help="simulated audio chunk size for --streaming",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.WARNING)
@@ -81,6 +90,22 @@ def main() -> None:
             file=sys.stderr,
         )
         params = dequantize_pytree(qparams)
+
+    if args.streaming:
+        from telugu_asr_tpu.serving import StreamingRecognizer
+
+        recognizer = StreamingRecognizer(model, params, featurizer, tokenizer)
+        chunk_samples = max(1, int(16000 * args.chunk_ms / 1000))
+        for p in paths:
+            wave, _sr = read_wav_file(p)
+            recognizer.reset()
+            for off in range(0, len(wave), chunk_samples):
+                partial = recognizer.accept(wave[off : off + chunk_samples])
+                if partial is not None:
+                    t_audio = (off + chunk_samples) / 16000
+                    print(f"{p}\t[{t_audio:6.2f}s partial]\t{partial}", flush=True)
+            print(f"{p}\t[final]\t{recognizer.finalize()}")
+        return
 
     # load + duration-sort + bucket
     waves = []
