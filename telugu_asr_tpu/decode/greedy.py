@@ -58,9 +58,17 @@ def _resolve_attention_impl(attention_impl: Optional[str], cfg) -> str:
       math through the jnp reference path (used by tests)."""
     if attention_impl in ("xla", "tiled", "fused"):
         return attention_impl
+    if attention_impl not in (None, "auto"):
+        raise ValueError(
+            f"unknown attention_impl {attention_impl!r}; "
+            "expected None, 'auto', 'xla', 'tiled', or 'fused'"
+        )
     from telugu_asr_tpu.ops.pallas.decode_fused import fused_supported
 
-    if jax.default_backend() not in ("cpu",) and fused_supported(cfg):
+    # decode_fused is a Mosaic TPU kernel: auto-select it only on a TPU
+    # backend ("axon" is this image's tunnelled TPU PJRT plugin), never on
+    # GPU/other backends where it cannot compile.
+    if jax.default_backend() in ("tpu", "axon") and fused_supported(cfg):
         return "fused"
     return "xla"
 

@@ -66,7 +66,10 @@ def worker_env(
         if device_ids:
             env["TPU_VISIBLE_DEVICES"] = ",".join(str(i) for i in device_ids)
             env["TPU_PROCESS_BOUNDS"] = "1,1,1"
-            env["TPU_CHIPS_PER_PROCESS_BOUNDS"] = "1,1,1"
+            # Bounds must agree with the number of chips this worker sees —
+            # a hardcoded 1,1,1 with multiple TPU_VISIBLE_DEVICES makes
+            # libtpu init fail (or use only one chip).
+            env["TPU_CHIPS_PER_PROCESS_BOUNDS"] = f"{len(device_ids)},1,1"
     env["TELUGU_ASR_HPO_WORKER"] = str(worker_id)
     return env
 

@@ -97,6 +97,8 @@ def make_objective(
     run_root: str = "data/hpo",
     seed: int = 42,
     use_fused_featurizer: bool = False,
+    log_metrics: bool = True,
+    wandb_project: Optional[str] = None,
 ):
     """Objective closure over prepared datasets (the expensive setup is shared
     across trials, unlike the reference which rebuilds everything per trial)."""
@@ -154,6 +156,21 @@ def make_objective(
         )
         eval_step = make_eval_step(model, featurizer, global_batch_size=batch_size, l2=hp["l2"])
 
+        # per-trial observability: CSV + TB (+ optional W&B), the analog of
+        # the reference's per-trial TB/CSV/W&B callbacks
+        # (train_optuna.py:24-25, 125-137)
+        metrics_logger = None
+        if log_metrics:
+            from telugu_asr_tpu.utils.metrics_writer import MetricsLogger
+
+            trial_dir = os.path.join(run_root, f"trial{trial.number}")
+            metrics_logger = MetricsLogger(
+                csv_path=os.path.join(trial_dir, "training.log"),
+                tensorboard_dir=os.path.join(trial_dir, "tensorboard"),
+                wandb_project=wandb_project,
+                wandb_config={"trial": trial.number, **hp},
+            )
+
         state = TrainState.create(params, optimizer)
         rng = jax.random.PRNGKey(seed)
         spe = steps_per_epoch or train_dataset.num_batches(batch_size)
@@ -161,9 +178,11 @@ def make_objective(
         best_val = float("inf")
         try:
             for epoch in range(epochs):
+                tloss = float("nan")
                 for _ in range(spe):
                     inputs, labels, _ = next(train_iter)
-                    state, _ = train_step(state, {**inputs, **labels}, rng)
+                    state, tm = train_step(state, {**inputs, **labels}, rng)
+                tloss = float(tm["loss"])
                 vlosses = []
                 for inputs, labels, _ in valid_dataset.batches(batch_size):
                     m = eval_step(state, {**inputs, **labels})
@@ -171,11 +190,15 @@ def make_objective(
                 val = float(np.mean(vlosses)) if vlosses else float("nan")
                 best_val = min(best_val, val)
                 trial.report(val, epoch + 1)
+                if metrics_logger is not None:
+                    metrics_logger.log(epoch + 1, {"loss": tloss, "val_loss": val})
                 logger.info("trial %d epoch %d: val_loss=%.4f", trial.number, epoch + 1, val)
                 if trial.should_prune():
                     raise TrialPruned()
         finally:
             train_iter.close()
+            if metrics_logger is not None:
+                metrics_logger.close()
         return best_val
 
     return objective

@@ -117,6 +117,7 @@ def _kernel(
     crossk, crossv,      # [NB, Tc, R, D]
     cross_valid,         # [Tc, R, 1] float (1 = attend)
     qzero,               # [1, R, 1] float (1 = zero the cross query)
+    row_pad,             # [1, R, 1] float (1 = batch-padding row: born finished)
     # output
     tok_ref,             # [Lp, R, 1] int32
     # scratch
@@ -287,7 +288,13 @@ def _kernel(
         s, finished = carry
         return (s < max_length) & (jnp.min(finished) < 1)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((r, 1), jnp.int32)))
+    # Batch-padding rows are born finished: they have zero-length encodings
+    # (uniform cross attention over noise) so they rarely emit EOS, and the
+    # early-exit law is min(finished) — an unseeded pad row would force its
+    # whole cell to decode to the max_length cap even when every real row
+    # finished (ADVICE r1).
+    init_finished = row_pad[0].astype(jnp.int32)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), init_finished))
 
 
 # ---------------------------------------------------------------------------
@@ -390,9 +397,14 @@ def fused_greedy_decode(
     cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
 
     # pad the batch to a multiple of 8 (Mosaic sublane-divisibility of blocks);
-    # padded rows have zero-length encodings (the uniform-softmax law) and are
-    # stripped from the output
-    batch = true_batch if interpret else _round_up(true_batch, 8)
+    # padded rows have zero-length encodings (the uniform-softmax law), are
+    # born finished in the kernel, and are stripped from the output.  In
+    # interpret mode (CPU tests) padding only happens when rows_per_cell is
+    # pinned, so the pad-row laws stay testable without Mosaic.
+    if interpret:
+        batch = _round_up(true_batch, rows_per_cell) if rows_per_cell else true_batch
+    else:
+        batch = _round_up(true_batch, 8)
     if batch != true_batch:
         pad_rows = [(0, batch - true_batch)]
         encoder_out = jnp.pad(encoder_out, pad_rows + [(0, 0), (0, 0)])
@@ -474,6 +486,7 @@ def fused_greedy_decode(
         qzero = empty.astype(jnp.float32)
     cross_valid_t = cross_valid.astype(jnp.float32).T[:, :, None]  # [Tc, B, 1]
     qzero_t = qzero[None, :, None]                                 # [1, B, 1]
+    row_pad_t = (jnp.arange(batch) >= true_batch).astype(jnp.float32)[None, :, None]
 
     # ---- grid / specs ------------------------------------------------------
     weight_bytes = sum(
@@ -506,6 +519,8 @@ def fused_greedy_decode(
         pl.BlockSpec((nb, tc, rows, d), lambda c: (0, 0, c, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tc, rows, 1), lambda c: (0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0),
                      memory_space=pltpu.VMEM),
@@ -543,7 +558,7 @@ def fused_greedy_decode(
         wq, wk, wv, wo, ln1g, ln1b,
         wcq, wco, ln2g, ln2b,
         w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,
-        crossk, crossv, cross_valid_t, qzero_t,
+        crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
     )
 
     tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]

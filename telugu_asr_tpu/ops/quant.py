@@ -116,9 +116,13 @@ def _should_quantize(path_key: str, leaf, min_size: int) -> bool:
     if not jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating):
         return False
     # matmul weights only: LN/bias are 1-D (excluded by ndim), RoPE tables and
-    # BN stats must stay exact.
+    # BN stats must stay exact.  ``path_key`` is the JOINED path (e.g.
+    # "text_embedding/table"), so the embedding table — whose leaf key is
+    # just "table" — matches via its parent key.
     name = path_key.lower()
-    return ("kernel" in name or "embedding" in name) and "inv_freq" not in name
+    return (
+        "kernel" in name or "embedding" in name or "table" in name
+    ) and "inv_freq" not in name
 
 
 def quantize_pytree(
@@ -136,7 +140,7 @@ def quantize_pytree(
 
     def walk(node, name: str):
         if isinstance(node, dict):
-            return {k: walk(v, k) for k, v in node.items()}
+            return {k: walk(v, f"{name}/{k}") for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             out = [walk(v, name) for v in node]
             return type(node)(out)

@@ -8,8 +8,13 @@ XLA insert the gradient ``psum`` over ICI.  The mesh generalizes to more axes
 (``("data", "model")``) for larger models; at 3.26M params only ``data`` is
 profitable, but the API carries the axes through.
 
-Multi-host (DCN) extension: call ``jax.distributed.initialize()`` before
-``make_mesh()`` — ``jax.devices()`` then spans hosts and the same code runs.
+Multi-host (DCN) extension: call :func:`distributed_initialize` (a thin
+``jax.distributed.initialize`` wrapper) before ``make_mesh()`` —
+``jax.devices()`` then spans hosts and the same mesh/step code runs; use
+:func:`make_global_batch` / :func:`make_global_replicated` to lift each
+process's local data into global arrays (every process holds only its
+addressable shards).  Exercised by a real 2-process CPU cluster in
+``tests/test_multihost.py``.
 """
 from __future__ import annotations
 
@@ -25,7 +30,60 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "pad_batch_to_multiple",
+    "distributed_initialize",
+    "make_global_batch",
+    "make_global_replicated",
 ]
+
+
+def distributed_initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Join (or auto-detect) a multi-process JAX cluster.
+
+    The analog of the reference's ``MultiWorkerMirroredStrategy`` bring-up
+    (env_util.py:36-40): on TPU pods the arguments are auto-detected from the
+    environment; on CPU/GPU clusters pass them explicitly.  After this,
+    ``jax.devices()`` spans all processes and the DP mesh/step code is
+    unchanged.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_global_batch(mesh: Mesh, local_batch: dict, batch_axis: str = "data") -> dict:
+    """Lift per-process batch shards into global batch-sharded arrays.
+
+    Each process passes ITS rows (global_batch / num_processes of them, in
+    process order); the result is a pytree of global arrays sharded over
+    ``batch_axis`` usable by the jitted steps.  Single-process: equivalent to
+    :func:`shard_batch`.
+    """
+    sharding = batch_sharding(mesh, batch_axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )
+
+
+def make_global_replicated(mesh: Mesh, tree):
+    """Replicate a host pytree (params/opt state) across every mesh device.
+
+    Every process must pass the SAME values (e.g. params built from the same
+    PRNG seed, or restored from the same checkpoint).
+    """
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape=np.shape(x)
+        ),
+        tree,
+    )
 
 
 def make_mesh(

@@ -118,7 +118,7 @@ class StreamingRecognizer:
         offline ``recognize`` on the concatenated audio."""
         if self._num_samples == 0:
             return ""
-        text = self._recognize_buffer()
+        text = self._recognize_buffer(exact_cap=True)
         self._last_partial = text
         return text
 
@@ -132,7 +132,7 @@ class StreamingRecognizer:
         top = self.bucket_samples[-1]
         return -(-n // top) * top
 
-    def _recognize_buffer(self) -> str:
+    def _recognize_buffer(self, exact_cap: bool = False) -> str:
         audio = np.concatenate(self._chunks) if len(self._chunks) > 1 else self._chunks[0]
         self._chunks = [audio]  # keep the buffer flat
         n = audio.size
@@ -142,10 +142,14 @@ class StreamingRecognizer:
         )
         lengths = jnp.asarray([n], jnp.int32)
         feats, feat_lengths = self.featurizer(signal, lengths)
-        # decode cap from the TRUE frame count (not the padded bucket)
-        true_frames = self.featurizer.get_nframes(n)
+        # ``max_length`` is a static jit arg of greedy_decode, so partial
+        # ticks derive it from the PADDED bucket's frame count — compiled
+        # programs stay bounded by the bucket ladder instead of retracing on
+        # every tick's true sample count.  finalize() uses the exact
+        # true-frame cap, where offline parity is required.
+        cap_frames = self.featurizer.get_nframes(n if exact_cap else padded)
         max_length = default_max_length(
-            int(true_frames),
+            int(cap_frames),
             frame_step=self.featurizer.config.frame_step,
             frame_length=self.featurizer.config.frame_length,
             sample_rate=self.sample_rate,

@@ -32,3 +32,56 @@ def _assert_cpu():
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+# -- quick/slow lanes ---------------------------------------------------------
+# Measured on the 1-CPU judging host (pytest --durations); everything >= ~8 s
+# is marked slow so `pytest -m "not slow"` is a fast regression lane.
+# tests/test_reference_parity.py marks itself slow (module-level pytestmark).
+_SLOW_TESTS = {
+    "test_fit_checkpoint_resume_and_eval",      # 183 s
+    "test_greedy_matches_reference_style",      # 103 s
+    "test_mixed_precision_step",                # 81 s
+    "test_dp_sharded_step_matches_single_device",  # 67 s
+    "test_transducer_train_and_eval",           # 55 s
+    "test_int8_decode_fidelity_flagship",       # 41 s
+    "test_loss_decreases",                      # 35 s
+    "test_sharded_greedy_decode_matches_unsharded",  # 28 s
+    "test_finalize_matches_offline",            # 27 s
+    "test_forward_shapes",                      # 26 s
+    "test_concurrent_workers_merge_storage",    # 24 s
+    "test_conformer_rnnt_training_step",        # 23 s
+    "test_param_budget_enforced",               # 18 s
+    "test_kv_cache_matches_full_decoder",       # 15 s
+    "test_parallel_launcher_end_to_end",        # 14 s
+    "test_gradients_finite_difference",         # 12 s
+    "test_conv1d_subsampling_shapes_and_lengths",  # 12 s
+    "test_tiled_greedy_token_parity",           # 11 s (each param)
+    "test_greedy_early_exit_on_eos",            # 11 s
+    "test_decoder_causality",                   # 11 s
+    "test_staged_decode_matches_plain",         # 11 s
+    "test_quick_val_wer",                       # 10 s
+    "test_fused_parity_across_seeds",           # 10 s
+    "test_padding_invariance",                  # 9 s
+    "test_flagship_param_budget",               # 9 s
+    "test_greedy_matches_reference_style_parity_mode",  # 9 s
+    "test_prepare_dataset_cli",                 # 9 s
+    "test_greedy_parity_across_seeds",          # 9 s
+    "test_greedy_transducer_matches_eager_reference",  # 8 s
+    "test_rope_absolute_positions",             # 7 s
+    "test_zero_length_rows_contribute_nothing", # 7 s
+    "test_gradients_zero_outside_valid_region", # 6 s
+    "test_fused_token_parity",                  # 6 s (each param)
+    "test_jit_forward",                         # 8 s
+    "test_beam_size_one_equals_greedy",         # 10 s setup
+    "test_conformer_forward_shapes",            # 10 s setup
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
+        elif "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)

@@ -96,3 +96,22 @@ def test_fused_bf16_cache_runs():
                           cache_dtype="bfloat16", precise_scores=False)
     assert tok_f.shape == (4, 6)
     assert np.all(np.asarray(len_f) >= 1)
+
+
+def test_fused_pad_rows_born_finished():
+    """Batch rows added by cell padding must not disturb real rows and must
+    not extend the decode loop (they are seeded finished; ADVICE r1)."""
+    model, params, enc_out, enc_mask = _setup()
+    enc3, mask3 = enc_out[:3], enc_mask[:3]  # true_batch=3, padded to 4
+    kwargs = dict(max_length=12, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+    tok_x, len_x = greedy_decode(model, params, enc3, mask3,
+                                 attention_impl="xla", **kwargs)
+    tok_f, len_f = fused_greedy_decode(
+        params["decoder"], model.cfg.decoder, enc3, mask3,
+        params["text_embedding"]["table"],
+        params["classifier"]["kernel"], params["classifier"]["bias"],
+        12, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+        rows_per_cell=4, interpret=True)
+    assert tok_f.shape[0] == 3
+    np.testing.assert_array_equal(np.asarray(tok_f), np.asarray(tok_x))
+    np.testing.assert_array_equal(np.asarray(len_f), np.asarray(len_x))

@@ -1,4 +1,6 @@
 """HPO engine: samplers, pruner laws, storage resume, search-space gates."""
+import os
+
 import numpy as np
 import pytest
 
@@ -191,3 +193,51 @@ def test_param_budget_enforced():
     model = ASRModel(cfg)
     n = model.num_params(model.init(jax.random.PRNGKey(0)))
     assert n < PARAM_BUDGET  # largest space point still fits the budget
+
+
+def test_objective_writes_per_trial_metrics(tmp_path, monkeypatch):
+    """make_objective logs per-epoch loss/val_loss to the trial's run dir
+    (CSV + TensorBoard) — reference train_optuna.py:24-25,125-137 parity."""
+    import jax
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.audio.io import write_wav_file
+    from telugu_asr_tpu.data.dataset import ASRDataset, DatasetSpec
+    from telugu_asr_tpu.hpo import RandomSampler, create_study
+    from telugu_asr_tpu.hpo import runner as hpo_runner
+    from telugu_asr_tpu.text import make_default_tokenizer
+
+    rng = np.random.default_rng(0)
+    rows = ["PATH\tDURATION\tTRANSCRIPT"]
+    for i, text in enumerate(["కరెంటు", "వారం", "తిండి", "నియమాలు"]):
+        path = str(tmp_path / f"u{i}.wav")
+        write_wav_file(path, (rng.standard_normal(12000) * 0.1).astype(np.float32), 16000)
+        rows.append(f"{path}\t0.75\t{text}")
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("\n".join(rows), encoding="utf-8")
+
+    tok = make_default_tokenizer()
+    feat = SpeechFeaturizer(FeaturizerConfig(num_feature_bins=8, normalize_signal=True))
+    ds = ASRDataset(DatasetSpec(data_paths=[str(tsv)], stage="train"), tok, feat)
+
+    tiny_hp = {
+        "min_lr": 1e-5, "max_lr": 1e-3, "warmup_steps": 8000, "l2": 1e-5,
+        "d_model": 32, "head_dim": 16, "num_heads": 2,
+        "encoder_blocks": 1, "decoder_blocks": 1,
+        "encoder_dropout": 0.1, "decoder_dropout": 0.1,
+    }
+    monkeypatch.setattr(hpo_runner, "suggest_hyperparameters", lambda trial: dict(tiny_hp))
+
+    run_root = str(tmp_path / "hpo")
+    objective = hpo_runner.make_objective(
+        ds, ds, feat, tok,
+        batch_size=2, epochs=2, steps_per_epoch=1, run_root=run_root, seed=0,
+    )
+    study = create_study("t", sampler=RandomSampler(seed=0))
+    study.optimize(objective, n_trials=1)
+
+    csv_path = os.path.join(run_root, "trial0", "training.log")
+    assert os.path.exists(csv_path)
+    lines = open(csv_path, encoding="utf-8").read().strip().splitlines()
+    assert lines[0] == "step,loss,val_loss"
+    assert len(lines) == 3  # header + 2 epochs

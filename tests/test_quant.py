@@ -106,3 +106,26 @@ def test_int8_decode_fidelity_flagship():
     # logits error small relative to their spread
     rel = float(jnp.max(jnp.abs(logits - qlogits)) / (jnp.std(logits) + 1e-9))
     assert rel < 0.5, rel
+
+
+def test_real_model_embedding_table_quantized():
+    """The flagship param tree's embedding lives at text_embedding/table —
+    path-joined matching must quantize it (ADVICE r1: leaf-key matching
+    missed it and --int8 silently skipped the largest vocab weight)."""
+    from telugu_asr_tpu.models.moonshine.decoder import DecoderConfig
+    from telugu_asr_tpu.models.moonshine.encoder import EncoderConfig
+    from telugu_asr_tpu.models.moonshine.model import ASRModel, MoonshineConfig
+
+    cfg = MoonshineConfig(
+        vocab_size=242,
+        d_model=64,
+        encoder=EncoderConfig(d_model=64, num_blocks=1, num_heads=2, head_dim=32),
+        decoder=DecoderConfig(d_model=64, num_blocks=1, num_heads=2, head_dim=32),
+    )
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    q = quantize_pytree(params)
+    assert is_quantized_leaf(q["text_embedding"]["table"])
+    assert is_quantized_leaf(q["classifier"]["kernel"])
+    # 1-D and RoPE leaves stay float
+    assert q["classifier"]["bias"].dtype == jnp.float32

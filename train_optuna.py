@@ -83,6 +83,9 @@ def main() -> None:
     parser.add_argument("--parallel", type=int, default=1,
                         help="number of worker processes (global n-trials budget)")
     parser.add_argument("--devices-per-worker", type=int, default=None)
+    parser.add_argument("--wandb-project", default=None,
+                        help="log per-trial metrics to this W&B project "
+                             "(reference train_optuna.py:24-25 parity)")
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -123,6 +126,7 @@ def main() -> None:
         steps_per_epoch=args.steps_per_epoch,
         seed=args.seed,
         use_fused_featurizer=jax.devices()[0].platform not in ("cpu",),
+        wandb_project=args.wandb_project,
     )
     study.optimize(objective, n_trials=args.n_trials)
     logger.info("best value: %s", study.best_value)
