@@ -159,3 +159,48 @@ def test_relative_shift():
     xin = np.asarray(x)
     for i in range(3):
         assert out[0, 0, i, 0] == xin[0, 0, i, 2 - i]
+
+
+def test_relative_shift_sliced_matches_padded():
+    # The restride fast path must be bit-identical to pad→reshape→slice on
+    # the Conformer's P = 2T-1 sinusoid stream (and fall back exactly when
+    # P is too short for the restride law).
+    rng = np.random.default_rng(0)
+    for tq, p in [(7, 13), (16, 31), (5, 5), (4, 9)]:
+        x = jnp.asarray(rng.standard_normal((2, 3, tq, p)), jnp.float32)
+        for tk in (tq, min(tq, p) - 1, 1):
+            ref = np.asarray(A._relative_shift(x)[..., :tk])
+            got = np.asarray(A._relative_shift_sliced(x, tk))
+            np.testing.assert_array_equal(ref, got)
+
+
+def test_relmha_pos_stream_lengths():
+    # relmha must agree between the fast shift (P = 2T-1) law and brute
+    # force: logits_v_shifted[n, m] = qv[n]·p[m - n + T - 1].
+    d, h, hd, t = 16, 2, 8, 6
+    params = A.relmha_init(jax.random.PRNGKey(0), d, h, hd)
+    params = jax.tree_util.tree_map(
+        lambda a: jax.random.normal(jax.random.PRNGKey(a.size), a.shape), params
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, t, d))
+    pos = jax.random.normal(jax.random.PRNGKey(2), (1, 2 * t - 1, d))
+    out = A.relmha_apply(params, x, pos, h)
+
+    q = jnp.einsum("bni,hio->bnho", x, params["query_kernel"])
+    k = jnp.einsum("bmi,hio->bmho", x, params["key_kernel"])
+    v = jnp.einsum("bmi,hio->bmho", x, params["value_kernel"])
+    p = jnp.einsum("bmi,hio->bmho", pos, params["pos_kernel"])
+    qu = q + params["pos_bias_u"]
+    qv = q + params["pos_bias_v"]
+    lu = jnp.einsum("bnho,bmho->bhnm", qu, k)
+    lv = np.zeros_like(np.asarray(lu))
+    for n in range(t):
+        for m in range(t):
+            lv[:, :, n, m] = np.asarray(
+                jnp.einsum("bho,bho->bh", qv[:, n], p[:, m - n + t - 1])
+            )
+    logits = (np.asarray(lu) + lv) / np.sqrt(hd)
+    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+    ref = jnp.einsum("bhnm,bmho->bnho", probs, v)
+    ref = jnp.einsum("bnhd,hdo->bno", ref, params["projection_kernel"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-5)
