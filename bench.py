@@ -12,9 +12,18 @@ batched greedy decode, all device-resident under one jit per bucket shape.
 Prints one JSON line:
 ``{"metric": "rtfx", "value": N, "unit": "x_realtime", "vs_baseline": N}``
 where the baseline is the north-star ≥20× real-time per chip (BASELINE.md).
+
+Extra modes (not run by the driver):
+``--family conformer``             greedy-transducer decode RTFx for the
+                                   Conformer RNN-T family (reference
+                                   config/conformer.yaml: d144 × 16 blocks)
+``--family conformer --mode train``  RNN-T train step ms (featurize → fwd →
+                                   RNN-T loss → bwd → Adam, batch 8 × 5.46 s)
+``--family moonshine --mode train``  CE train step ms (batch 64 × 5.46 s)
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -25,7 +34,235 @@ WORKLOAD = [(2.0, 1), (5.46, 2), (9.0, 1), (17.73, 1)]
 BATCH = 64
 
 
-def main() -> None:
+def _sync_timer(fn, *args, trials=5, inner=4, round_trip=0.0):
+    """Median seconds per call; ``inner`` back-to-back device-serialized calls
+    synchronized once through the scalar checksum each trial (the tunnel's
+    ~30 ms dispatch round-trip amortizes away; see memory: block_until_ready
+    returns early on this image's remote backend)."""
+    times = []
+    for _ in range(trials):
+        start = time.perf_counter()
+        checksum = None
+        for _ in range(inner):
+            checksum = fn(*args)
+        float(checksum)
+        times.append(max(time.perf_counter() - start - round_trip, 1e-9) / inner)
+    return sorted(times)[len(times) // 2]
+
+
+def _round_trip_baseline(probe):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _scalar(x):
+        return jnp.sum(x)
+
+    float(_scalar(probe))
+    start = time.perf_counter()
+    for _ in range(5):
+        float(_scalar(probe))
+    return (time.perf_counter() - start) / 5
+
+
+def _flagship_conformer(vocab_size: int):
+    """The reference's shipped transducer config (config/conformer.yaml:24-52)."""
+    from telugu_asr_tpu.configs import load_config
+    from telugu_asr_tpu.models.conformer.model import Conformer, ConformerConfig
+
+    config = load_config("config/conformer.yaml")
+    return Conformer(
+        ConformerConfig.from_model_config(config.model_config, vocab_size)
+    )
+
+
+def bench_conformer_decode() -> dict:
+    """Greedy-transducer decode RTFx: fused log-mel → 16-block relMHA
+    Conformer encoder → whole-batch frame-synchronous ``lax.scan`` decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.text import make_transducer_tokenizer
+    from telugu_asr_tpu.utils import setup_environment
+
+    setup_environment()
+    tokenizer = make_transducer_tokenizer()
+    model = _flagship_conformer(tokenizer.vocab_size)
+    params, state = model.init(jax.random.PRNGKey(0))
+    featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+
+    @jax.jit
+    def recognize(params, state, audio, audio_lengths):
+        if on_tpu:
+            features, feat_lengths = featurizer.fused(audio, audio_lengths)
+        else:
+            features, feat_lengths = featurizer(audio, audio_lengths)
+        tokens, lengths = model.recognize(params, state, features, feat_lengths)
+        return jnp.sum(tokens) + jnp.sum(lengths)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for seconds, count in WORKLOAD:
+        samples = int(seconds * 16000)
+        audio = jnp.asarray(rng.standard_normal((BATCH, samples)) * 0.1, jnp.float32)
+        lengths = jnp.full((BATCH,), samples, jnp.int32)
+        batches.append((seconds, count, audio, lengths))
+    for _, _, audio, lengths in batches:
+        float(recognize(params, state, audio, lengths))
+    round_trip = _round_trip_baseline(batches[0][3])
+
+    total_time = total_audio = 0.0
+    for seconds, count, audio, lengths in batches:
+        med = _sync_timer(recognize, params, state, audio, lengths, round_trip=round_trip)
+        total_time += med * count
+        total_audio += BATCH * seconds * count
+    rtfx = total_audio / total_time
+    return {
+        "metric": "conformer_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 20.0, 3),
+    }
+
+
+def bench_conformer_train() -> dict:
+    """RNN-T train step: featurize → Conformer fwd → joint → RNN-T loss
+    (time-row scan custom-VJP) → bwd → Adam.  Batch 8 (the reference's
+    committed batch size, model.yaml), 5.46 s mean-duration audio, U=40."""
+    import jax
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.optim import make_optimizer
+    from telugu_asr_tpu.text import make_transducer_tokenizer
+    from telugu_asr_tpu.train import TrainState
+    from telugu_asr_tpu.train.step import make_transducer_train_step
+    from telugu_asr_tpu.utils import setup_environment
+
+    setup_environment()
+    tokenizer = make_transducer_tokenizer()
+    model = _flagship_conformer(tokenizer.vocab_size)
+    params, state = model.init(jax.random.PRNGKey(0))
+    featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    optimizer, _ = make_optimizer(
+        {
+            "class_name": "Adam",
+            "config": {
+                "learning_rate": 1e-4,
+                "beta_1": 0.9,
+                "beta_2": 0.98,
+                "epsilon": 1e-9,
+            },
+        }
+    )
+
+    batch_size, seconds, u = 8, 5.46, 40
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    step = make_transducer_train_step(
+        model, optimizer, featurizer,
+        global_batch_size=batch_size, l2=6.0267189935506624e-05,
+        use_fused_featurizer=on_tpu,
+    )
+    rng = np.random.default_rng(0)
+    samples = int(seconds * 16000)
+    labels = rng.integers(2, tokenizer.vocab_size, (batch_size, u)).astype(np.int32)
+    batch = {
+        "audio": rng.standard_normal((batch_size, samples)).astype(np.float32) * 0.1,
+        "audio_lengths": np.full((batch_size,), samples, np.int32),
+        "prediction": np.concatenate(
+            [np.zeros((batch_size, 1), np.int32), labels], axis=1
+        ),
+        "prediction_length": np.full((batch_size,), u + 1, np.int32),
+        "labels": labels,
+        "labels_length": np.full((batch_size,), u, np.int32),
+    }
+    ts = TrainState.create(params, optimizer, state)
+    key = jax.random.PRNGKey(0)
+
+    def one(ts_and_key):
+        nonlocal ts
+        ts, metrics = step(ts, batch, key)
+        return metrics["loss"]
+
+    float(one(None))  # compile
+    round_trip = _round_trip_baseline(batch["audio_lengths"])
+    med = _sync_timer(one, None, round_trip=round_trip)
+    return {
+        "metric": "conformer_train_step_ms",
+        "value": round(med * 1000, 2),
+        "unit": "ms_per_step_b8",
+        "vs_baseline": None,
+    }
+
+
+def bench_moonshine_train() -> dict:
+    """Moonshine CE train step ms at batch 64 × 5.46 s (README training row)."""
+    import jax
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.optim import make_optimizer
+    from telugu_asr_tpu.text import make_default_tokenizer
+    from telugu_asr_tpu.train import TrainState, make_train_step
+    from telugu_asr_tpu.utils import setup_environment
+
+    from __graft_entry__ import _flagship
+
+    setup_environment()
+    tokenizer = make_default_tokenizer()
+    model = _flagship(tokenizer.vocab_size)
+    params = model.init(jax.random.PRNGKey(0))
+    featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    optimizer, _ = make_optimizer(
+        {
+            "class_name": "Adam",
+            "config": {
+                "learning_rate": 1e-4,
+                "beta_1": 0.9,
+                "beta_2": 0.98,
+                "epsilon": 1e-9,
+            },
+        }
+    )
+    batch_size, seconds, u = 64, 5.46, 48
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    step = make_train_step(
+        model, optimizer, featurizer,
+        global_batch_size=batch_size, l2=6.0267189935506624e-05,
+        use_fused_featurizer=on_tpu,
+    )
+    rng = np.random.default_rng(0)
+    samples = int(seconds * 16000)
+    batch = {
+        "audio": rng.standard_normal((batch_size, samples)).astype(np.float32) * 0.1,
+        "audio_lengths": np.full((batch_size,), samples, np.int32),
+        "shifted_right_text_inputs": rng.integers(
+            4, tokenizer.vocab_size, (batch_size, u)
+        ).astype(np.int32),
+        "text_targets": rng.integers(4, tokenizer.vocab_size, (batch_size, u)).astype(
+            np.int32
+        ),
+    }
+    ts = TrainState.create(params, optimizer)
+    key = jax.random.PRNGKey(0)
+
+    def one(_):
+        nonlocal ts
+        ts, metrics = step(ts, batch, key)
+        return metrics["loss"]
+
+    float(one(None))
+    round_trip = _round_trip_baseline(batch["audio_lengths"])
+    med = _sync_timer(one, None, round_trip=round_trip)
+    return {
+        "metric": "train_step_ms",
+        "value": round(med * 1000, 2),
+        "unit": "ms_per_step_b64",
+        "vs_baseline": None,
+    }
+
+
+def bench_moonshine_decode() -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -106,16 +343,27 @@ def main() -> None:
         total_audio += BATCH * seconds * count
     rtfx = total_audio / total_time
     baseline = 20.0  # north-star: >=20x real-time per chip (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "rtfx",
-                "value": round(rtfx, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(rtfx / baseline, 3),
-            }
-        )
-    )
+    return {
+        "metric": "rtfx",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / baseline, 3),
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--family", choices=("moonshine", "conformer"),
+                        default="moonshine")
+    parser.add_argument("--mode", choices=("decode", "train"), default="decode")
+    args = parser.parse_args()
+    dispatch = {
+        ("moonshine", "decode"): bench_moonshine_decode,
+        ("moonshine", "train"): bench_moonshine_train,
+        ("conformer", "decode"): bench_conformer_decode,
+        ("conformer", "train"): bench_conformer_train,
+    }
+    print(json.dumps(dispatch[(args.family, args.mode)]()))
 
 
 if __name__ == "__main__":

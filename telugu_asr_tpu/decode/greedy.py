@@ -120,9 +120,23 @@ def greedy_decode(
     """
     cfg = model.cfg.decoder
     impl = _resolve_attention_impl(attention_impl, cfg)
+    if impl == "fused" and attention_impl in (None, "auto"):
+        # Auto-selected fused must also FIT: larger HPO d_models with long
+        # caps can exceed the VMEM-resident budget — fall back to XLA there
+        # rather than fail inside Mosaic (shapes are static at trace time).
+        from telugu_asr_tpu.ops.quant import pytree_has_quantized as _has_q
+        from telugu_asr_tpu.ops.pallas.decode_fused import fused_fits
+
+        if not fused_fits(
+            cfg, encoder_out.shape[0], encoder_out.shape[1], max_length,
+            vocab=model.cfg.vocab_size, quantized=_has_q(params),
+        ):
+            impl = "xla"
     if impl == "fused":
         from telugu_asr_tpu.ops.pallas.decode_fused import fused_greedy_decode
 
+        # int8 params pass through as-is: the fused kernel serves them
+        # VMEM-resident in int8, dequantizing at each use site.
         return fused_greedy_decode(
             params["decoder"],
             cfg,
@@ -138,6 +152,12 @@ def greedy_decode(
             parity_unmasked_cross=parity_unmasked_cross,
             cache_dtype=cache_dtype,
         )
+    from telugu_asr_tpu.ops.quant import dequantize_pytree, pytree_has_quantized
+
+    if pytree_has_quantized(params):
+        # XLA/tiled paths compute in float: restore floats once (jit-safe);
+        # the at-rest/HBM copy outside this jit stays int8.
+        params = dequantize_pytree(params)
     batch = encoder_out.shape[0]
     cross_mask = None if parity_unmasked_cross else encoder_mask
     # bfloat16 caches halve the per-step HBM traffic (the decode bottleneck);

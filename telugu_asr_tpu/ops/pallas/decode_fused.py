@@ -39,8 +39,11 @@ Microarchitecture notes (v5e, Mosaic — numbers from in-kernel micro-probes):
   ``False`` rounds the q·k products to bfloat16 first — ~4% faster
   end-to-end, for serving configs that already run bf16 caches.
 * RoPE's interleaved rotate-half is two lane rolls + an even/odd select with
-  a precomputed per-lane frequency vector (ops/rope.py laws).  Requires
-  rot_dim == head_dim (flagship head_dim=32: ``max(32//2, 32) == 32``).
+  a precomputed per-lane frequency vector (ops/rope.py laws).  Partial
+  rotation (rot_dim < head_dim, e.g. head_dim=64) rotates IN PLACE with
+  zero frequency on unrotated channels (cos=1/sin=0 pass-through): per-head
+  dot products are invariant under the reference's channel permutation, so
+  only the externally-built cross-K cache is lane-remapped to match.
 * SwiGLU's lane split is avoided by pre-splitting dense1's kernel into the
   value/gate halves (each zero-padded to 128 lanes) on the host.
 * The Keras masked-softmax laws are reproduced exactly: the additive -1e9
@@ -83,10 +86,28 @@ def _ones_block(d: int, head_dim: int) -> np.ndarray:
     return m
 
 
-def _freq_lanes(d: int, head_dim: int, inv_freq: np.ndarray) -> np.ndarray:
-    """Per-lane RoPE angular frequency: lane f → inv_freq[(f % head_dim)//2]."""
+def _freq_lanes(d: int, head_dim: int, inv_freq: np.ndarray,
+                rot_dim: int) -> np.ndarray:
+    """Per-lane RoPE angular frequency: lane f → inv_freq[(f % head_dim)//2]
+    for the first ``rot_dim`` channels of each head, 0 for unrotated channels
+    (cos=1, sin=0 → exact pass-through, including the pair-roll term)."""
     f = np.arange(d)
-    return inv_freq[(f % head_dim) // 2][None, :].astype(np.float32)  # [1, d]
+    j = f % head_dim
+    out = np.where(j < rot_dim, inv_freq[np.minimum(j, rot_dim - 1) // 2], 0.0)
+    return out[None, :].astype(np.float32)  # [1, d]
+
+
+def _rope_inplace_perm(d: int, head_dim: int, rot_dim: int) -> np.ndarray:
+    """Lane permutation mapping the reference RoPE output layout
+    (``[unrotated_tail, rotated_head]`` per head, ops/rope.py:77-86) to the
+    kernel's IN-PLACE layout (first ``rot_dim`` channels rotated, tail kept
+    in position).  Per-head dot products are invariant under a shared channel
+    permutation, so the kernel rotates in place and only the externally-built
+    cross-K cache needs this remap.  Identity when rot_dim == head_dim."""
+    f = np.arange(d)
+    h, j = f // head_dim, f % head_dim
+    src_j = np.where(j < rot_dim, (head_dim - rot_dim) + j, j - rot_dim)
+    return (h * head_dim + src_j).astype(np.int32)
 
 
 def _even_mask(d: int) -> np.ndarray:
@@ -118,11 +139,10 @@ def _kernel(
     cross_valid,         # [Tc, R, 1] float (1 = attend)
     qzero,               # [1, R, 1] float (1 = zero the cross query)
     row_pad,             # [1, R, 1] float (1 = batch-padding row: born finished)
-    # output
-    tok_ref,             # [Lp, R, 1] int32
-    # scratch
-    kself, vself,        # [NB, Lp, R, D] cache dtype
-    *,
+    # with quantized=True, 11 per-channel scale inputs follow (see below);
+    # then output tok_ref [Lp, R, 1] int32 and scratch kself/vself
+    # [NB, Lp, R, D] cache dtype
+    *rest,
     n_blocks: int,
     head_dim: int,
     max_length: int,
@@ -130,9 +150,32 @@ def _kernel(
     eos_id: int,
     pad_id: int,
     precise_scores: bool,
+    quantized: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if quantized:
+        # int8-resident serving: the matmul weights (emb, cls_w, wq..wo,
+        # wcq/wco, w1a/w1b_/w2) arrive as int8 with these per-output-channel
+        # scales ([NB, 1, C] / [1, C] f32); ``mmq`` dequantizes at the use
+        # site (weights stay int8 in VMEM — ~4× less weight VMEM and HBM
+        # load traffic).  Dequantization multiplies the WEIGHT (scale is
+        # per-last-axis channel) before the dot, reproducing the XLA
+        # dequantize-then-matmul values.
+        (emb_s, cls_s, wq_s, wk_s, wv_s, wo_s, wcq_s, wco_s,
+         w1a_s, w1b_s, w2_s, tok_ref, kself, vself) = rest
+    else:
+        tok_ref, kself, vself = rest
+        emb_s = cls_s = wq_s = wk_s = wv_s = wo_s = None
+        wcq_s = wco_s = w1a_s = w1b_s = w2_s = None
+
+    def mmq(x, ref, sref, b=None):
+        w = ref[:] if b is None else ref[b]
+        if quantized:
+            s = sref[:] if b is None else sref[b]
+            w = w.astype(jnp.float32) * s
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     r = tok_ref.shape[1]
     d = emb.shape[1]
@@ -170,9 +213,6 @@ def _kernel(
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) * (x - mu), axis=-1, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + 1e-3) * g + b
-
-    def mm(x, w):
-        return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     def tree_max(x):
         w = x.shape[0]
@@ -223,7 +263,7 @@ def _kernel(
         s, finished = carry
         cur = tok_ref[pl.ds(s, 1)][0]                      # [R, 1] int32
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (r, vp), 1) == cur)
-        x = mm(onehot.astype(jnp.float32), emb[:])          # [R, D]
+        x = mmq(onehot.astype(jnp.float32), emb, emb_s)     # [R, D]
 
         ang = s.astype(jnp.float32) * freq[:]
         cos = jnp.cos(ang)
@@ -232,9 +272,9 @@ def _kernel(
 
         for b in range(n_blocks):
             # -- masked self-attention over the cache ------------------------
-            q = rope(mm(x, wq[b]), cos, sin) * scale
-            k = rope(mm(x, wk[b]), cos, sin)
-            v = mm(x, wv[b])
+            q = rope(mmq(x, wq, wq_s, b), cos, sin) * scale
+            k = rope(mmq(x, wk, wk_s, b), cos, sin)
+            v = mmq(x, wv, wv_s, b)
             kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
             vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
 
@@ -255,10 +295,10 @@ def _kernel(
                 )
             _, den, acc = carry_a
             attn = acc[0] / den[0]
-            x = layer_norm(x + mm(attn, wo[b]), ln1g[b], ln1b[b])
+            x = layer_norm(x + mmq(attn, wo, wo_s, b), ln1g[b], ln1b[b])
 
             # -- cross-attention over the encoder (fully static) -------------
-            qc = rope(mm(x, wcq[b]), cos, sin) * scale
+            qc = rope(mmq(x, wcq, wcq_s, b), cos, sin) * scale
             qc = jnp.where(qzero[0] > 0, 0.0, qc)
             carry_c = flash_init()
             for si_ in range(n_cross_segs):
@@ -268,15 +308,15 @@ def _kernel(
                 carry_c = flash_segment(qc, kseg, vseg, valid, carry_c)
             _, den, acc = carry_c
             cross = acc[0] / den[0]
-            x = layer_norm(x + mm(cross, wco[b]), ln2g[b], ln2b[b])
+            x = layer_norm(x + mmq(cross, wco, wco_s, b), ln2g[b], ln2b[b])
 
             # -- SwiGLU FFN (dense1 pre-split into value/gate halves) --------
-            ha = mm(x, w1a[b]) + b1a[b]
-            hb = mm(x, w1b_[b]) + b1b[b]
-            ffn = mm(ha * (hb * jax.nn.sigmoid(hb)), w2[b]) + b2[b]
+            ha = mmq(x, w1a, w1a_s, b) + b1a[b]
+            hb = mmq(x, w1b_, w1b_s, b) + b1b[b]
+            ffn = mmq(ha * (hb * jax.nn.sigmoid(hb)), w2, w2_s, b) + b2[b]
             x = layer_norm(x + ffn, ln3g[b], ln3b[b])
 
-        logits = mm(x, cls_w[:]) + cls_b[:]                 # [R, Vp]
+        logits = mmq(x, cls_w, cls_s) + cls_b[:]            # [R, Vp]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)[:, None]
         nxt = jnp.where(finished > 0, pad_id, nxt)
         tok_ref[pl.ds(s + 1, 1)] = nxt[None]
@@ -312,7 +352,7 @@ def fused_supported(cfg) -> bool:
 
     return (
         cfg.num_heads * cfg.head_dim == cfg.d_model
-        and rope_rot_dim(cfg.head_dim) == cfg.head_dim
+        and rope_rot_dim(cfg.head_dim) % 2 == 0
         and cfg.head_dim % 2 == 0
         and LANE_TILE % cfg.head_dim == 0
         and cfg.activation == "swiglu"
@@ -323,13 +363,14 @@ def fused_supported(cfg) -> bool:
 def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
                cache_bytes: int, weight_bytes: int) -> int:
     """Largest multiple-of-8 divisor of batch whose cell fits the VMEM budget
-    (Mosaic requires blocked sublane dims divisible by 8).
+    (Mosaic requires blocked sublane dims divisible by 8); 0 if even the
+    8-row cell does not fit (callers fall back to the XLA path).
 
     Budget laws measured from Mosaic allocation dumps: the minor (lane) dim
     is padded to a 128 multiple, and per-cell blocked INPUTS are
     double-buffered across grid cells (scratch is single-buffered)."""
     dp = _round_up(d, LANE_TILE)
-    best = 8
+    best = 0
     for rows in range(8, batch + 1, 8):
         if batch % rows:
             continue
@@ -341,6 +382,32 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
         if weight_bytes + cell <= _VMEM_BUDGET:
             best = rows
     return best
+
+
+def _weight_bytes_estimate(n_blocks: int, d: int, vocab: int,
+                           itemsize: int = 4) -> int:
+    """Rough resident-weight footprint for the budget laws: 12 d×d-class
+    matrices per block (QKV/O, cross Q/O, and the ≈4d²-worth of FFN mats at
+    fc_factor 4 with SwiGLU halving) plus embedding + classifier + the ones
+    matrix."""
+    vp = _round_up(vocab, LANE_TILE)
+    dp = _round_up(d, LANE_TILE)
+    return (12 * d * d * n_blocks + 2 * vp * d + dp * dp) * itemsize
+
+
+def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
+               vocab: int = 256, quantized: bool = False) -> bool:
+    """Would ANY cell grouping fit VMEM for these decode shapes (bf16
+    caches, the smallest-footprint mode)?  Greedy auto-resolve uses this to
+    fall back to the XLA path instead of failing inside Mosaic — the HPO
+    space's larger d_models with long caps can exceed the ~128 MB budget."""
+    lp = _round_up(max_length + 1, SEG)
+    tc = _round_up(t_enc, SEG)
+    b = _round_up(max(batch, 8), 8)
+    wb = _weight_bytes_estimate(
+        cfg.num_blocks, cfg.d_model, vocab, 1 if quantized else 4
+    )
+    return _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, 2, wb) > 0
 
 
 @functools.partial(
@@ -389,10 +456,14 @@ def fused_greedy_decode(
         # auto: f32 caches while the cell stays wide; long decode caps would
         # shrink the batch-row group (more sequential cells, ~2× slower), so
         # fall back to bf16 caches there.  Pass cache_dtype explicitly to pin.
+        from telugu_asr_tpu.ops.quant import is_quantized_leaf as _is_q
+
         lp_ = _round_up(max_length + 1, SEG)
         tc_ = _round_up(t_enc, SEG)
         b_ = true_batch if interpret else _round_up(true_batch, 8)
-        if _pick_rows(b_, nb, d, lp_, tc_, 4, 48 * d * d * nb) < 32:
+        # int8-resident weights (~¼ the bytes) leave more VMEM for caches
+        wb_ = (12 if _is_q(embedding_table) else 48) * d * d * nb
+        if _pick_rows(b_, nb, d, lp_, tc_, 4, wb_) < 32:
             cache_dtype = "bfloat16"
     cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
 
@@ -413,30 +484,81 @@ def fused_greedy_decode(
 
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
-    vocab = embedding_table.shape[0]
+    emb_arr = (
+        embedding_table["q8"] if isinstance(embedding_table, dict) else embedding_table
+    )
+    vocab = emb_arr.shape[0]
     vp = _round_up(vocab, LANE_TILE)
 
     # ---- stacked weights ---------------------------------------------------
+    # Matmul weights may arrive int8-quantized (ops/quant.py leaves,
+    # ``{"q8", "scale"}``).  When EVERY matmul weight is quantized, the
+    # kernel runs int8-resident (weights stay int8 in VMEM, dequantized at
+    # each use site — ~4× less weight VMEM + HBM load traffic); a partially
+    # quantized tree is dequantized here and runs the float path, so values
+    # always match XLA's dequantize-then-matmul exactly.
+    from telugu_asr_tpu.ops.quant import dequantize_array, is_quantized_leaf
+
     blocks = params["blocks"]
+    _MAT_PATHS = [
+        ["masked_mhsa", "mha", "query_kernel"],
+        ["masked_mhsa", "mha", "key_kernel"],
+        ["masked_mhsa", "mha", "value_kernel"],
+        ["masked_mhsa", "mha", "projection_kernel"],
+        ["cross_attention", "mha", "query_kernel"],
+        ["cross_attention", "mha", "projection_kernel"],
+        ["ffn", "dense1", "kernel"],
+        ["ffn", "dense2", "kernel"],
+    ]
+
+    def get(blk, path):
+        return functools.reduce(lambda t, k: t[k], path, blk)
+
+    quantized = (
+        is_quantized_leaf(embedding_table)
+        and is_quantized_leaf(classifier_kernel)
+        and all(is_quantized_leaf(get(blk, p)) for blk in blocks for p in _MAT_PATHS)
+    )
+
+    def deq(leaf):
+        if is_quantized_leaf(leaf):
+            return dequantize_array(leaf["q8"], leaf["scale"])
+        return leaf
 
     def stack(path):
-        return jnp.stack([functools.reduce(lambda t, k: t[k], path, blk)
-                          for blk in blocks])
+        return jnp.stack([deq(get(blk, path)) for blk in blocks])
 
-    wq = stack(["masked_mhsa", "mha", "query_kernel"])
-    wk = stack(["masked_mhsa", "mha", "key_kernel"])
-    wv = stack(["masked_mhsa", "mha", "value_kernel"])
-    wo = stack(["masked_mhsa", "mha", "projection_kernel"])
+    def stack_q(path):
+        """int8 stack [NB, ..., C] + scale stack [NB, 1, C]."""
+        leaves = [get(blk, path) for blk in blocks]
+        q = jnp.stack([l["q8"] for l in leaves])
+        s = jnp.stack([l["scale"] for l in leaves])[:, None, :]
+        return q, s
+
+    if quantized:
+        wq, wq_s = stack_q(_MAT_PATHS[0])
+        wk, wk_s = stack_q(_MAT_PATHS[1])
+        wv, wv_s = stack_q(_MAT_PATHS[2])
+        wo, wo_s = stack_q(_MAT_PATHS[3])
+        wcq, wcq_s = stack_q(_MAT_PATHS[4])
+        wco, wco_s = stack_q(_MAT_PATHS[5])
+        w1, w1_s = stack_q(_MAT_PATHS[6])   # [NB, D, HID], [NB, 1, HID]
+        w2r, w2_s = stack_q(_MAT_PATHS[7])  # [NB, HID//2, D], [NB, 1, D]
+    else:
+        wq = stack(_MAT_PATHS[0])
+        wk = stack(_MAT_PATHS[1])
+        wv = stack(_MAT_PATHS[2])
+        wo = stack(_MAT_PATHS[3])
+        wcq = stack(_MAT_PATHS[4])
+        wco = stack(_MAT_PATHS[5])
+        w1 = stack(_MAT_PATHS[6])     # [NB, D, HID]
+        w2r = stack(_MAT_PATHS[7])    # [NB, HID//2, D]
     ln1g = stack(["masked_mhsa", "ln", "gamma"])[:, None, :]
     ln1b = stack(["masked_mhsa", "ln", "beta"])[:, None, :]
-    wcq = stack(["cross_attention", "mha", "query_kernel"])
-    wco = stack(["cross_attention", "mha", "projection_kernel"])
     ln2g = stack(["cross_attention", "ln", "gamma"])[:, None, :]
     ln2b = stack(["cross_attention", "ln", "beta"])[:, None, :]
 
-    w1 = stack(["ffn", "dense1", "kernel"])     # [NB, D, HID]
     b1 = stack(["ffn", "dense1", "bias"])       # [NB, HID]
-    w2r = stack(["ffn", "dense2", "kernel"])    # [NB, HID//2, D]
     b2 = stack(["ffn", "dense2", "bias"])[:, None, :]
     ln3g = stack(["ffn", "ln", "gamma"])[:, None, :]
     ln3b = stack(["ffn", "ln", "beta"])[:, None, :]
@@ -449,25 +571,49 @@ def fused_greedy_decode(
     b1a = jnp.pad(b1[:, None, :inner], [(0, 0), (0, 0), (0, hp - inner)])
     b1b = jnp.pad(b1[:, None, inner:], [(0, 0), (0, 0), (0, hp - inner)])
     w2 = jnp.pad(w2r, [(0, 0), (0, hp - inner), (0, 0)])
+    if quantized:
+        # padded channels dequantize to 0 (q8 pad 0, scale pad 1)
+        w1a_s = jnp.pad(w1_s[:, :, :inner], pad_h, constant_values=1.0)
+        w1b_s = jnp.pad(w1_s[:, :, inner:], pad_h, constant_values=1.0)
 
-    emb = jnp.pad(embedding_table, [(0, vp - vocab), (0, 0)])
-    cls_w = jnp.pad(classifier_kernel, [(0, 0), (0, vp - vocab)])
+    if quantized:
+        emb = jnp.pad(embedding_table["q8"], [(0, vp - vocab), (0, 0)])
+        emb_s = embedding_table["scale"][None, :]                      # [1, D]
+        cls_w = jnp.pad(classifier_kernel["q8"], [(0, 0), (0, vp - vocab)])
+        cls_s = jnp.pad(classifier_kernel["scale"], [(0, vp - vocab)],
+                        constant_values=1.0)[None, :]                  # [1, Vp]
+    else:
+        emb = jnp.pad(deq(embedding_table), [(0, vp - vocab), (0, 0)])
+        cls_w = jnp.pad(deq(classifier_kernel), [(0, 0), (0, vp - vocab)])
     cls_b = jnp.pad(classifier_bias[None, :], [(0, 0), (0, vp - vocab)],
                     constant_values=-1e30)
 
+    from telugu_asr_tpu.ops.rope import rope_rot_dim
+
+    rot_dim = rope_rot_dim(dh)
     inv_freq = np.asarray(rope_inv_freq(dh))
-    freq = jnp.asarray(_freq_lanes(d, dh, inv_freq))
+    freq = jnp.asarray(_freq_lanes(d, dh, inv_freq, rot_dim))
     evenm = jnp.asarray(_even_mask(d))
     onesb = jnp.asarray(_ones_block(d, dh))
+    k_perm = None if rot_dim == dh else _rope_inplace_perm(d, dh, rot_dim)
 
     # ---- cross caches (time-major [NB, Tc, B, D]) --------------------------
+    # Built once per batch in XLA; quantized key/value kernels are
+    # dequantized here (outside the kernel) — same values as the float path.
     cks, cvs = [], []
     for blk in blocks:
+        mha = {k: deq(v) for k, v in blk["cross_attention"]["mha"].items()}
         cc = make_cross_attention_cache(
-            blk["cross_attention"]["mha"], encoder_out, h
+            mha, encoder_out, h
         )  # k/v: [B, H, Dh, T]
         for arrs, kk in ((cks, "k"), (cvs, "v")):
-            a = cc[kk].reshape(batch, d, t_enc).transpose(2, 0, 1)  # [T, B, D]
+            a = cc[kk].reshape(batch, d, t_enc)
+            if kk == "k" and k_perm is not None:
+                # partial RoPE (rot_dim < head_dim): the externally-built K
+                # cache is in the reference's permuted channel layout; remap
+                # to the kernel's in-place layout so q·k pairs line up.
+                a = a[:, k_perm, :]
+            a = a.transpose(2, 0, 1)  # [T, B, D]
             arrs.append(jnp.pad(a, [(0, tc - t_enc), (0, 0), (0, 0)]))
     crossk = jnp.stack(cks).astype(cdtype)
     crossv = jnp.stack(cvs).astype(cdtype)
@@ -489,13 +635,23 @@ def fused_greedy_decode(
     row_pad_t = (jnp.arange(batch) >= true_batch).astype(jnp.float32)[None, :, None]
 
     # ---- grid / specs ------------------------------------------------------
+    weight_arrays = [emb, cls_w, onesb, wq, wk, wv, wo, wcq, wco, w1a, w1b_, w2]
+    if quantized:
+        scale_arrays = [emb_s, cls_s, wq_s, wk_s, wv_s, wo_s, wcq_s, wco_s,
+                        w1a_s, w1b_s, w2_s]
+        weight_arrays += scale_arrays
     weight_bytes = sum(
-        int(np.prod(a.shape)) * 4
-        for a in (emb, cls_w, onesb, wq, wk, wv, wo, wcq, wco, w1a, w1b_, w2)
+        int(np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize for a in weight_arrays
     )
     rows = rows_per_cell or _pick_rows(
         batch, nb, d, lp, tc, cdtype.itemsize, weight_bytes
     )
+    if rows == 0:
+        raise ValueError(
+            f"fused decode does not fit VMEM: d_model={d} n_blocks={nb} "
+            f"cap={max_length} t_enc={t_enc} cache={cdtype} — use "
+            "attention_impl='xla' (greedy auto-resolve checks fused_fits)"
+        )
     assert batch % rows == 0
     n_cells = batch // rows
 
@@ -525,6 +681,8 @@ def fused_greedy_decode(
         pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if quantized:
+        in_specs += [const(a.shape) for a in scale_arrays]
 
     kernel = functools.partial(
         _kernel,
@@ -535,6 +693,7 @@ def fused_greedy_decode(
         eos_id=eos_id,
         pad_id=pad_id,
         precise_scores=precise_scores,
+        quantized=quantized,
     )
 
     tokens3 = pl.pallas_call(
@@ -559,6 +718,7 @@ def fused_greedy_decode(
         wcq, wco, ln2g, ln2b,
         w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,
         crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
+        *(scale_arrays if quantized else ()),
     )
 
     tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]

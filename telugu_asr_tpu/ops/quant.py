@@ -171,6 +171,21 @@ def dequantize_pytree(params, dtype=jnp.float32):
     return walk(params)
 
 
+def pytree_has_quantized(params) -> bool:
+    """True if any node in the tree is a quantized ``{"q8","scale"}`` leaf."""
+
+    def walk(node) -> bool:
+        if is_quantized_leaf(node):
+            return True
+        if isinstance(node, dict):
+            return any(walk(v) for v in node.values())
+        if isinstance(node, (list, tuple)):
+            return any(walk(v) for v in node)
+        return False
+
+    return walk(params)
+
+
 def pytree_num_bytes(params) -> int:
     return sum(
         leaf.size * leaf.dtype.itemsize

@@ -75,6 +75,11 @@ _SLOW_TESTS = {
     "test_jit_forward",                         # 8 s
     "test_beam_size_one_equals_greedy",         # 10 s setup
     "test_conformer_forward_shapes",            # 10 s setup
+    "test_objective_writes_per_trial_metrics",  # 39 s
+    "test_fused_eos_law",                       # 14 s
+    "test_fused_partial_rope_token_parity",     # 10 s
+    "test_fused_int8_token_parity",             # 7 s
+    "test_fused_pad_rows_born_finished",        # 7 s
 }
 
 

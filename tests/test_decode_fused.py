@@ -98,6 +98,115 @@ def test_fused_bf16_cache_runs():
     assert np.all(np.asarray(len_f) >= 1)
 
 
+def test_fused_int8_token_parity():
+    """An int8-quantized tree served VMEM-resident by the kernel must decode
+    the same tokens as the XLA path over the dequantized weights (both paths
+    see identical dequantized values; VERDICT r1 #5)."""
+    from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_pytree
+
+    model, params, enc_out, enc_mask = _setup()
+    qparams = quantize_pytree(params, min_size=1)
+    fparams = dequantize_pytree(qparams)
+    tok_x, len_x = greedy_decode(model, fparams, enc_out, enc_mask,
+                                 max_length=12, bos_id=BOS, eos_id=EOS,
+                                 pad_id=PAD, attention_impl="xla")
+    tok_f, len_f = _fused(model, qparams, enc_out, enc_mask, 12)
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_int8_partial_tree_falls_back():
+    """A tree where only SOME matmul weights are quantized must dequantize in
+    the wrapper and still match the XLA path (float kernel fallback)."""
+    from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_array
+
+    model, params, enc_out, enc_mask = _setup()
+    qparams = jax.tree_util.tree_map(lambda x: x, params)  # deep-ish copy
+    blk0 = qparams["decoder"]["blocks"][0]["masked_mhsa"]["mha"]
+    q, s = quantize_array(blk0["query_kernel"])
+    blk0["query_kernel"] = {"q8": q, "scale": s}
+    fparams = dequantize_pytree(qparams)
+    tok_x, len_x = greedy_decode(model, fparams, enc_out, enc_mask,
+                                 max_length=10, bos_id=BOS, eos_id=EOS,
+                                 pad_id=PAD, attention_impl="xla")
+    tok_f, len_f = _fused(model, qparams, enc_out, enc_mask, 10)
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_greedy_decode_accepts_int8_tree():
+    """greedy_decode on the XLA path dequantizes an int8 tree in-jit and
+    matches decoding the float tree."""
+    from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_pytree
+
+    model, params, enc_out, enc_mask = _setup()
+    qparams = quantize_pytree(params, min_size=1)
+    kwargs = dict(max_length=8, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                  attention_impl="xla")
+    tok_q, len_q = greedy_decode(model, qparams, enc_out, enc_mask, **kwargs)
+    tok_f, len_f = greedy_decode(model, dequantize_pytree(qparams), enc_out,
+                                 enc_mask, **kwargs)
+    np.testing.assert_array_equal(np.asarray(tok_q), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_q), np.asarray(len_f))
+
+
+def test_fused_partial_rope_token_parity():
+    """head_dim=64 ⇒ rot_dim=32 < head_dim: the kernel rotates in place and
+    lane-remaps the cross-K cache (per-head dot products are permutation
+    invariant) — tokens must match the XLA path exactly in interpret mode."""
+    from telugu_asr_tpu.models.moonshine.decoder import DecoderConfig
+    from telugu_asr_tpu.models.moonshine.encoder import EncoderConfig
+    from telugu_asr_tpu.models.moonshine.model import ASRModel, MoonshineConfig
+    from telugu_asr_tpu.ops.rope import rope_rot_dim
+
+    cfg = MoonshineConfig(
+        vocab_size=32,
+        d_model=128,
+        encoder=EncoderConfig(d_model=128, num_blocks=1, num_heads=2,
+                              head_dim=64, in_channels=8),
+        decoder=DecoderConfig(d_model=128, num_blocks=2, num_heads=2,
+                              head_dim=64),
+    )
+    assert rope_rot_dim(64) == 32  # genuinely partial
+    assert fused_supported(cfg.decoder)
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(3))
+    params["classifier"]["kernel"] = params["classifier"]["kernel"] * 50.0
+    params["classifier"]["bias"] = params["classifier"]["bias"] * 50.0
+    feats = jax.random.normal(jax.random.PRNGKey(4), (4, 90, 8))
+    lengths = jnp.asarray([90, 40, 60, 25])
+    enc_out, enc_mask = model.encode(params, feats, lengths)
+    kwargs = dict(max_length=10, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+    tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                 attention_impl="xla", **kwargs)
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 10)
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_vmem_fit_law():
+    """Shapes beyond the VMEM budget must be rejected up front — _pick_rows
+    returns 0, fused_fits says no (auto-resolve then routes to XLA), and a
+    forced call raises instead of failing inside Mosaic (VERDICT r1 #6)."""
+    from telugu_asr_tpu.ops.pallas.decode_fused import _pick_rows, fused_fits
+
+    model, params, enc_out, enc_mask = _setup()
+    cfg = model.cfg.decoder
+    # flagship-like shapes fit; a 100k-step cap cannot
+    assert fused_fits(cfg, 64, enc_out.shape[1], 131, vocab=model.cfg.vocab_size)
+    assert not fused_fits(cfg, 64, enc_out.shape[1], 100_000,
+                          vocab=model.cfg.vocab_size)
+    assert _pick_rows(64, cfg.num_blocks, cfg.d_model, 100_032, 96, 4,
+                      10 * 1024 * 1024) == 0
+    with pytest.raises(ValueError, match="does not fit VMEM"):
+        fused_greedy_decode(
+            params["decoder"], cfg, enc_out, enc_mask,
+            params["text_embedding"]["table"],
+            params["classifier"]["kernel"], params["classifier"]["bias"],
+            100_000, bos_id=BOS, eos_id=EOS, pad_id=PAD,
+            cache_dtype="bfloat16", interpret=True)
+
+
 def test_fused_pad_rows_born_finished():
     """Batch rows added by cell padding must not disturb real rows and must
     not extend the decode loop (they are seeded finished; ADVICE r1)."""

@@ -217,8 +217,8 @@ def test_objective_writes_per_trial_metrics(tmp_path, monkeypatch):
     tsv.write_text("\n".join(rows), encoding="utf-8")
 
     tok = make_default_tokenizer()
-    feat = SpeechFeaturizer(FeaturizerConfig(num_feature_bins=8, normalize_signal=True))
-    ds = ASRDataset(DatasetSpec(data_paths=[str(tsv)], stage="train"), tok, feat)
+    feat = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    ds = ASRDataset(DatasetSpec(data_paths=[str(tsv)], stage="train"), tok)
 
     tiny_hp = {
         "min_lr": 1e-5, "max_lr": 1e-3, "warmup_steps": 8000, "l2": 1e-5,

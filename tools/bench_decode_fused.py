@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Microbench the fused whole-decode-loop kernel on the real TPU.
+
+Times ``fused_greedy_decode`` end-to-end (encode excluded) on the flagship
+B=64 × 5.46 s bucket at the full reference length cap, f32 or int8-resident
+weights (``--int8``), any cache dtype.  Prints one JSON line with ms/decode
+and µs/step.
+
+Usage:
+    python tools/bench_decode_fused.py [--int8] [--cache-dtype bfloat16]
+        [--batch 64] [--seconds 5.46] [--trials 5] [--inner 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--cache-dtype", default=None)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--seconds", type=float, default=5.46)
+    parser.add_argument("--trials", type=int, default=5)
+    parser.add_argument("--inner", type=int, default=4)
+    parser.add_argument("--precise-scores", action="store_true", default=True)
+    args = parser.parse_args()
+
+    sys.path.insert(0, ".")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.decode.greedy import default_max_length
+    from telugu_asr_tpu.ops.pallas.decode_fused import fused_greedy_decode
+    from telugu_asr_tpu.text import make_default_tokenizer
+    from telugu_asr_tpu.utils import setup_environment
+
+    from __graft_entry__ import _flagship
+
+    setup_environment()
+    tokenizer = make_default_tokenizer()
+    model = _flagship(tokenizer.vocab_size)
+    params = model.init(jax.random.PRNGKey(0))
+
+    if args.int8:
+        from telugu_asr_tpu.ops.quant import quantize_pytree
+
+        qp = quantize_pytree(params)
+        dec_params = qp["decoder"]
+        emb = qp["text_embedding"]["table"]
+        cls_w = qp["classifier"]["kernel"]
+    else:
+        dec_params = params["decoder"]
+        emb = params["text_embedding"]["table"]
+        cls_w = params["classifier"]["kernel"]
+    cls_b = params["classifier"]["bias"]
+
+    featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    rng = np.random.default_rng(0)
+    samples = int(args.seconds * 16000)
+    audio = jnp.asarray(rng.standard_normal((args.batch, samples)) * 0.1, jnp.float32)
+    lengths = jnp.full((args.batch,), samples, jnp.int32)
+    feats, fl = featurizer(audio, lengths)
+    enc_out, enc_mask = jax.jit(model.encode)(params, feats, fl)
+    max_len = default_max_length(int(feats.shape[1]))
+
+    @jax.jit
+    def decode(dec_params, emb, cls_w, cls_b, enc_out, enc_mask):
+        tok, ln = fused_greedy_decode(
+            dec_params, model.cfg.decoder, enc_out, enc_mask, emb, cls_w, cls_b,
+            max_len, bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id, cache_dtype=args.cache_dtype,
+            precise_scores=args.precise_scores,
+        )
+        return jnp.sum(tok) + jnp.sum(ln)
+
+    fargs = (dec_params, emb, cls_w, cls_b, enc_out, enc_mask)
+    float(decode(*fargs))  # compile
+
+    @jax.jit
+    def _scalar(x):
+        return jnp.sum(x)
+
+    float(_scalar(lengths))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(_scalar(lengths))
+    round_trip = (time.perf_counter() - t0) / 5
+
+    times = []
+    for _ in range(args.trials):
+        start = time.perf_counter()
+        checksum = None
+        for _ in range(args.inner):
+            checksum = decode(*fargs)
+        float(checksum)
+        times.append(
+            max(time.perf_counter() - start - round_trip, 1e-9) / args.inner
+        )
+    med = sorted(times)[len(times) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "fused_decode_ms",
+                "value": round(med * 1000, 3),
+                "unit": f"ms_per_decode_b{args.batch}_cap{max_len}",
+                "us_per_step": round(med * 1e6 / max_len, 2),
+                "int8": args.int8,
+                "cache_dtype": args.cache_dtype,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,7 @@ def main() -> None:
         print("WARNING: no checkpoint; random weights", file=sys.stderr)
         params = model.init(jax.random.PRNGKey(42))
 
+    decode_params = params
     if args.int8:
         from telugu_asr_tpu.ops.quant import (
             dequantize_pytree,
@@ -89,7 +90,13 @@ def main() -> None:
             f"{pytree_num_bytes(qparams)/1e6:.2f} MB at rest",
             file=sys.stderr,
         )
+        # Encoder/beam compute in float; the greedy decoder serves the int8
+        # tree directly (the fused TPU kernel keeps the weights int8 in
+        # VMEM; the XLA path dequantizes inside the compiled step).
         params = dequantize_pytree(qparams)
+        decode_params = dict(params)
+        for key in ("decoder", "text_embedding", "classifier"):
+            decode_params[key] = qparams[key]
 
     if args.streaming:
         from telugu_asr_tpu.serving import StreamingRecognizer
@@ -138,7 +145,7 @@ def main() -> None:
             # staged caps: trained models emit EOS early, so the common case
             # pays the short-cache decode only
             tokens, _ = greedy_decode_staged(
-                model, params, eo, em, max_length=max_len,
+                model, decode_params, eo, em, max_length=max_len,
                 bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
                 pad_id=tokenizer.pad_token_id,
             )
