@@ -127,7 +127,7 @@ def bench_conformer_decode() -> dict:
     }
 
 
-def bench_conformer_train() -> dict:
+def bench_conformer_train(batch_size: int = 8) -> dict:
     """RNN-T train step: featurize → Conformer fwd → joint → RNN-T loss
     (time-row scan custom-VJP) → bwd → Adam.  Batch 8 (the reference's
     committed batch size, model.yaml), 5.46 s mean-duration audio, U=40."""
@@ -157,7 +157,7 @@ def bench_conformer_train() -> dict:
         }
     )
 
-    batch_size, seconds, u = 8, 5.46, 40
+    seconds, u = 5.46, 40
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     step = make_transducer_train_step(
         model, optimizer, featurizer,
@@ -177,6 +177,9 @@ def bench_conformer_train() -> dict:
         "labels": labels,
         "labels_length": np.full((batch_size,), u, np.int32),
     }
+    # device-resident batch: numpy args would re-pay the host->device
+    # transfer (slow on this tunnel) on every call and pollute the timing
+    batch = jax.device_put(batch)
     ts = TrainState.create(params, optimizer, state)
     key = jax.random.PRNGKey(0)
 
@@ -191,12 +194,13 @@ def bench_conformer_train() -> dict:
     return {
         "metric": "conformer_train_step_ms",
         "value": round(med * 1000, 2),
-        "unit": "ms_per_step_b8",
+        "unit": f"ms_per_step_b{batch_size}",
+        "utt_per_sec": round(batch_size / med, 1),
         "vs_baseline": None,
     }
 
 
-def bench_moonshine_train() -> dict:
+def bench_moonshine_train(batch_size: int = 64) -> dict:
     """Moonshine CE train step ms at batch 64 × 5.46 s (README training row)."""
     import jax
 
@@ -224,7 +228,7 @@ def bench_moonshine_train() -> dict:
             },
         }
     )
-    batch_size, seconds, u = 64, 5.46, 48
+    seconds, u = 5.46, 48
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     step = make_train_step(
         model, optimizer, featurizer,
@@ -243,6 +247,7 @@ def bench_moonshine_train() -> dict:
             np.int32
         ),
     }
+    batch = jax.device_put(batch)  # keep host->device transfer out of the timing
     ts = TrainState.create(params, optimizer)
     key = jax.random.PRNGKey(0)
 
@@ -257,7 +262,8 @@ def bench_moonshine_train() -> dict:
     return {
         "metric": "train_step_ms",
         "value": round(med * 1000, 2),
-        "unit": "ms_per_step_b64",
+        "unit": f"ms_per_step_b{batch_size}",
+        "utt_per_sec": round(batch_size / med, 1),
         "vs_baseline": None,
     }
 
@@ -356,14 +362,16 @@ def main() -> None:
     parser.add_argument("--family", choices=("moonshine", "conformer"),
                         default="moonshine")
     parser.add_argument("--mode", choices=("decode", "train"), default="decode")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="train-mode batch size override (64 moonshine / 8 conformer)")
     args = parser.parse_args()
-    dispatch = {
-        ("moonshine", "decode"): bench_moonshine_decode,
-        ("moonshine", "train"): bench_moonshine_train,
-        ("conformer", "decode"): bench_conformer_decode,
-        ("conformer", "train"): bench_conformer_train,
-    }
-    print(json.dumps(dispatch[(args.family, args.mode)]()))
+    if args.mode == "train":
+        fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
+        out = fn(args.batch) if args.batch else fn()
+    else:
+        fn = bench_moonshine_decode if args.family == "moonshine" else bench_conformer_decode
+        out = fn()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

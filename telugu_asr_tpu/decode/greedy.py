@@ -152,6 +152,12 @@ def greedy_decode(
             parity_unmasked_cross=parity_unmasked_cross,
             cache_dtype=cache_dtype,
         )
+    if cache_dtype == "int8":
+        raise ValueError(
+            "int8 KV caches are a fused-kernel mode (per-column scale "
+            "bookkeeping lives in the kernel); use attention_impl='fused' "
+            "or cache_dtype='bfloat16' on the XLA path"
+        )
     from telugu_asr_tpu.ops.quant import dequantize_pytree, pytree_has_quantized
 
     if pytree_has_quantized(params):

@@ -127,21 +127,28 @@ def _kernel(
     freq,         # [1, D]
     evenm,        # [1, D]
     onesb,        # [D, D] block-diagonal ones
+    freq_c,       # [1, Dp]   cross-path variants: the cross K/V HBM arrays
+    evenm_c,      # [1, Dp]   are lane-padded to a 128 multiple (Mosaic DMA
+    onesb_c,      # [Dp, Dp]  slices need tile-aligned minor dims), so the
+                  #           cross flash math runs Dp wide — physically free
+                  #           (a D=192 vreg already occupies 256 lanes)
     wq, wk, wv, wo,      # [NB, D, D]
     ln1g, ln1b,          # [NB, 1, D]
-    wcq, wco,            # [NB, D, D]
+    wcq, wco,            # [NB, D, Dp], [NB, Dp, D]  (zero-padded)
     ln2g, ln2b,          # [NB, 1, D]
     w1a, w1b_, b1a, b1b, # [NB, D, HP], [NB, D, HP], [NB, 1, HP], [NB, 1, HP]
     w2, b2,              # [NB, HP, D], [NB, 1, D]
     ln3g, ln3b,          # [NB, 1, D]
     # per-cell
-    crossk, crossv,      # [NB, Tc, R, D]
+    crossk, crossv,      # [NB, Tc, B, D] in ANY/HBM (DMA'd per cell)
     cross_valid,         # [Tc, R, 1] float (1 = attend)
     qzero,               # [1, R, 1] float (1 = zero the cross query)
     row_pad,             # [1, R, 1] float (1 = batch-padding row: born finished)
     # with quantized=True, 11 per-channel scale inputs follow (see below);
-    # then output tok_ref [Lp, R, 1] int32 and scratch kself/vself
-    # [NB, Lp, R, D] cache dtype
+    # then output tok_ref [Lp, R, 1] int32, scratch kself/vself
+    # [NB, Lp, R, D] cache dtype (int8 self caches pair with bf16 cross),
+    # cross scratch + 2 DMA semaphores, and (cache_q8) kvscale
+    # [Lp, R, 2*NB] f32
     *rest,
     n_blocks: int,
     head_dim: int,
@@ -151,10 +158,31 @@ def _kernel(
     pad_id: int,
     precise_scores: bool,
     quantized: bool = False,
+    cache_q8: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    rest = list(rest)
+    if cache_q8:
+        # int8 SELF caches (hybrid mode): each written K/V column stores
+        # PER-ROW symmetric scales in ``kvscale`` [Lp, R, 2NB] (k at lane b,
+        # v at lane NB+b — static minor indices, dynamic step on the MAJOR
+        # dim, per Mosaic's dynamic-store law).  Halves self-cache VMEM vs
+        # bfloat16; ~0.8% score error, same class as the bf16 fast mode.
+        # The CROSS caches stay bfloat16: an int8 HBM→VMEM DMA slice fails
+        # Mosaic legalization (packed-sublane memref_slice), and the cross
+        # scratch is the smaller term anyway.
+        kvscale = rest.pop()
+    else:
+        kvscale = None
+    sem_v = rest.pop()
+    sem_k = rest.pop()
+    crossv_v = rest.pop()
+    crossk_v = rest.pop()
+    vself = rest.pop()
+    kself = rest.pop()
+    tok_ref = rest.pop()
     if quantized:
         # int8-resident serving: the matmul weights (emb, cls_w, wq..wo,
         # wcq/wco, w1a/w1b_/w2) arrive as int8 with these per-output-channel
@@ -164,9 +192,9 @@ def _kernel(
         # per-last-axis channel) before the dot, reproducing the XLA
         # dequantize-then-matmul values.
         (emb_s, cls_s, wq_s, wk_s, wv_s, wo_s, wcq_s, wco_s,
-         w1a_s, w1b_s, w2_s, tok_ref, kself, vself) = rest
+         w1a_s, w1b_s, w2_s) = rest
     else:
-        tok_ref, kself, vself = rest
+        assert not rest, rest
         emb_s = cls_s = wq_s = wk_s = wv_s = wo_s = None
         wcq_s = wco_s = w1a_s = w1b_s = w2_s = None
 
@@ -179,34 +207,35 @@ def _kernel(
 
     r = tok_ref.shape[1]
     d = emb.shape[1]
+    dp = crossk_v.shape[-1]
     vp = emb.shape[0]
-    tc = crossk.shape[1]
+    tc = crossk_v.shape[1]
     lp = tok_ref.shape[0]
     scale = 1.0 / (head_dim ** 0.5)
     n_self_segs = lp // SEG
     n_cross_segs = tc // SEG
 
-    # 128-lane-tile spans of the block-diagonal ones matrix (off-diagonal
-    # tiles are zero, so the head-sum matmul runs per diagonal tile)
-    spans = [(i, min(i + LANE_TILE, d)) for i in range(0, d, LANE_TILE)]
-
-    def head_sums(g):
-        """[M, D] q·k products → per-head sums replicated per head (MXU)."""
+    def head_sums(g, ones_ref):
+        """[M, W] q·k products → per-head sums replicated per head (MXU).
+        The ones matrix is block-diagonal, so the matmul runs per diagonal
+        128-lane tile (off-diagonal tiles are zero)."""
+        w = g.shape[1]
         outs = []
-        for lo, hi in spans:
+        for lo in range(0, w, LANE_TILE):
+            hi = min(lo + LANE_TILE, w)
             gi = g[:, lo:hi]
-            oi = onesb[lo:hi, lo:hi]
+            oi = ones_ref[lo:hi, lo:hi]
             if not precise_scores:
                 gi = gi.astype(jnp.bfloat16)
                 oi = oi.astype(jnp.bfloat16)
             outs.append(jnp.dot(gi, oi, preferred_element_type=jnp.float32))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
-    def rope(x, cos, sin):
+    def rope(x, cos, sin, evm):
         # interleaved pairs: (x0, x1) → (x0 c - x1 s, x1 c + x0 s)
-        left = pltpu.roll(x, d - 1, axis=1)   # lane f ← f+1
-        right = pltpu.roll(x, 1, axis=1)      # lane f ← f-1
-        half = jnp.where(evenm[:] > 0, -left, right)
+        left = pltpu.roll(x, x.shape[1] - 1, axis=1)   # lane f ← f+1
+        right = pltpu.roll(x, 1, axis=1)               # lane f ← f-1
+        half = jnp.where(evm[:] > 0, -left, right)
         return x * cos + half * sin
 
     def layer_norm(x, g, b):
@@ -221,17 +250,37 @@ def _kernel(
             x = jnp.maximum(x[:w], x[w:2 * w])
         return x  # [1, R, D]
 
-    def flash_segment(q, kseg, vseg, valid, carry):
-        """One SEG-column online-softmax update.  q [R, D] pre-scaled;
-        kseg/vseg [SEG, R, D] f32; valid [SEG, R, 1] bool."""
+    def q8_store(cache, b, scale_lane, s, x):
+        """Quantize one K/V column [R, D] to int8 with PER-ROW symmetric
+        scales (a [R, 1] lanes-broadcast divide — the layer_norm pattern;
+        Mosaic cannot broadcast [1,1] into both sublanes and lanes)."""
+        sc = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-12
+        )  # [R, 1]
+        q = jnp.floor(x / sc + 0.5).astype(jnp.int8)
+        cache[b, pl.ds(s, 1)] = q[None]
+        kvscale[pl.ds(s, 1), :, scale_lane:scale_lane + 1] = sc[None]
+
+    def scale_col(lo, lane):
+        """[SEG, R, 1] per-(column, row) scales from the kvscale scratch."""
+        return kvscale[lo:lo + SEG, :, lane:lane + 1]
+
+    def flash_segment(q, kseg, vseg, valid, carry, ones_ref=onesb,
+                      kscale=None, vscale=None):
+        """One SEG-column online-softmax update.  q [R, W] pre-scaled;
+        kseg/vseg [SEG, R, W] f32; valid [SEG, R, 1] bool; kscale/vscale
+        [SEG, R, 1] per-column int8-cache scales (None = float caches)."""
         m, den, acc = carry
+        w = q.shape[-1]
         g = kseg * q[None]
-        si = head_sums(g.reshape(SEG * r, d)).reshape(SEG, r, d)
+        si = head_sums(g.reshape(SEG * r, w), ones_ref).reshape(SEG, r, w)
+        if kscale is not None:
+            si = si * kscale
         si = jnp.where(valid, si, MASK_BIAS)
         m2 = jnp.maximum(m, tree_max(si))
         sc = jnp.exp(m - m2)
         e = jnp.exp(si - m2)
-        ev = e * vseg
+        ev = (e * vscale if vscale is not None else e) * vseg
         w = SEG
         te, tv = e, ev
         while w > 1:
@@ -240,16 +289,29 @@ def _kernel(
             tv = tv[:w] + tv[w:2 * w]
         return m2, den * sc + te, acc * sc + tv
 
-    def flash_init():
+    def flash_init(w=d):
         return (
-            jnp.full((1, r, d), MASK_BIAS, jnp.float32),
-            jnp.zeros((1, r, d), jnp.float32),
-            jnp.zeros((1, r, d), jnp.float32),
+            jnp.full((1, r, w), MASK_BIAS, jnp.float32),
+            jnp.zeros((1, r, w), jnp.float32),
+            jnp.zeros((1, r, w), jnp.float32),
         )
 
     col3 = jax.lax.broadcasted_iota(jnp.int32, (SEG, r, 1), 0)
 
     # ---- per-cell init -----------------------------------------------------
+    # Cross K/V live in HBM and are DMA'd into single-buffered scratch once
+    # per cell (a blocked VMEM input would be double-buffered across cells —
+    # measured: that halves the achievable rows_per_cell, and cells decode
+    # sequentially at ~16 µs/step fixed cost each).
+    cell = pl.program_id(0)
+    ck_copy = pltpu.make_async_copy(
+        crossk.at[:, :, pl.ds(cell * r, r), :], crossk_v, sem_k
+    )
+    cv_copy = pltpu.make_async_copy(
+        crossv.at[:, :, pl.ds(cell * r, r), :], crossv_v, sem_v
+    )
+    ck_copy.start()
+    cv_copy.start()
     tok_ref[:] = jnp.full(tok_ref.shape, pad_id, jnp.int32)
     tok_ref[0:1] = jnp.full((1, r, 1), bos_id, jnp.int32)
     # Zero the cache scratch: masked flash contributions multiply exp(-1e9-m)
@@ -257,6 +319,12 @@ def _kernel(
     # the accumulator (and argmax over NaNs silently returns 0).
     kself[:] = jnp.zeros(kself.shape, kself.dtype)
     vself[:] = jnp.zeros(vself.shape, vself.dtype)
+    if cache_q8:
+        # ones, not garbage: masked flash terms multiply 0 × scale — a NaN
+        # scale on an unwritten column would poison the accumulator
+        kvscale[:] = jnp.ones(kvscale.shape, jnp.float32)
+    ck_copy.wait()
+    cv_copy.wait()
 
     # ---- decode loop -------------------------------------------------------
     def body(carry):
@@ -268,15 +336,22 @@ def _kernel(
         ang = s.astype(jnp.float32) * freq[:]
         cos = jnp.cos(ang)
         sin = jnp.sin(ang)
+        ang_c = s.astype(jnp.float32) * freq_c[:]
+        cos_c = jnp.cos(ang_c)
+        sin_c = jnp.sin(ang_c)
         cur_pad = (cur == pad_id)                           # [R, 1]
 
         for b in range(n_blocks):
             # -- masked self-attention over the cache ------------------------
-            q = rope(mmq(x, wq, wq_s, b), cos, sin) * scale
-            k = rope(mmq(x, wk, wk_s, b), cos, sin)
+            q = rope(mmq(x, wq, wq_s, b), cos, sin, evenm) * scale
+            k = rope(mmq(x, wk, wk_s, b), cos, sin, evenm)
             v = mmq(x, wv, wv_s, b)
-            kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
-            vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
+            if cache_q8:
+                q8_store(kself, b, b, s, k)
+                q8_store(vself, b, n_blocks + b, s, v)
+            else:
+                kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
+                vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
 
             carry_a = flash_init()
             for si_ in range(n_self_segs):
@@ -287,7 +362,12 @@ def _kernel(
                     live = (col3 + si_ * SEG) <= s
                     # PAD-query quirk: a PAD current token attends everything
                     valid = live & ((tokc != pad_id) | cur_pad[None])
-                    return flash_segment(q, kseg, vseg, valid, (m_, d_, a_))
+                    ksc = vsc = None
+                    if cache_q8:
+                        ksc = scale_col(si_ * SEG, b)
+                        vsc = scale_col(si_ * SEG, n_blocks + b)
+                    return flash_segment(q, kseg, vseg, valid, (m_, d_, a_),
+                                         kscale=ksc, vscale=vsc)
 
                 carry_a = jax.lax.cond(
                     si_ * SEG <= s, seg_fn,
@@ -297,15 +377,19 @@ def _kernel(
             attn = acc[0] / den[0]
             x = layer_norm(x + mmq(attn, wo, wo_s, b), ln1g[b], ln1b[b])
 
-            # -- cross-attention over the encoder (fully static) -------------
-            qc = rope(mmq(x, wcq, wcq_s, b), cos, sin) * scale
+            # -- cross-attention over the encoder (fully static, Dp wide:
+            # pad lanes are zero in q and K/V, so their per-fake-head scores
+            # are exactly 0 and their attn output exactly 0 — wco's padded
+            # input rows are zero, so nothing leaks) -------------------------
+            qc = rope(mmq(x, wcq, wcq_s, b), cos_c, sin_c, evenm_c) * scale
             qc = jnp.where(qzero[0] > 0, 0.0, qc)
-            carry_c = flash_init()
+            carry_c = flash_init(dp)
             for si_ in range(n_cross_segs):
-                kseg = crossk[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                vseg = crossv[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                kseg = crossk_v[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                vseg = crossv_v[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
                 valid = cross_valid[si_ * SEG:(si_ + 1) * SEG] > 0
-                carry_c = flash_segment(qc, kseg, vseg, valid, carry_c)
+                carry_c = flash_segment(qc, kseg, vseg, valid, carry_c,
+                                        ones_ref=onesb_c)
             _, den, acc = carry_c
             cross = acc[0] / den[0]
             x = layer_norm(x + mmq(cross, wco, wco_s, b), ln2g[b], ln2b[b])
@@ -367,18 +451,28 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
     8-row cell does not fit (callers fall back to the XLA path).
 
     Budget laws measured from Mosaic allocation dumps: the minor (lane) dim
-    is padded to a 128 multiple, and per-cell blocked INPUTS are
-    double-buffered across grid cells (scratch is single-buffered)."""
+    is padded to a 128 multiple; cross K/V live in HBM and are DMA'd into
+    single-buffered scratch.  ``cache_bytes == 1`` is the hybrid int8 mode:
+    int8 SELF caches (sublanes tile at 32, so small cells pay padding) with
+    bfloat16 cross scratch."""
     dp = _round_up(d, LANE_TILE)
+    cross_bytes = 2 if cache_bytes == 1 else cache_bytes
+    # the cross HBM DMA slices the sublane (batch-row) dim: offsets/sizes
+    # must align to the cross dtype's packed sublane tile (f32 8, bf16 16)
+    row_tile = 16 if cross_bytes == 2 else 8
     best = 0
-    for rows in range(8, batch + 1, 8):
+    for rows in range(row_tile, batch + 1, row_tile):
         if batch % rows:
             continue
+        srows = _round_up(rows, 32) if cache_bytes == 1 else rows
         cell = (
-            2 * n_blocks * lp * rows * dp * cache_bytes      # self K/V scratch
-            + 2 * 2 * n_blocks * tc * rows * dp * cache_bytes  # cross (dbl-buf)
+            2 * n_blocks * lp * srows * dp * cache_bytes      # self K/V scratch
+            + 2 * n_blocks * tc * rows * dp * cross_bytes     # cross scratch
             + 12 * SEG * rows * dp * 4                       # flash temps (rough)
         )
+        if cache_bytes == 1:
+            # per-row self-scale scratch [Lp, R, 2NB] (lanes pad to 128)
+            cell += lp * rows * LANE_TILE * 4
         if weight_bytes + cell <= _VMEM_BUDGET:
             best = rows
     return best
@@ -397,17 +491,20 @@ def _weight_bytes_estimate(n_blocks: int, d: int, vocab: int,
 
 def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
                vocab: int = 256, quantized: bool = False) -> bool:
-    """Would ANY cell grouping fit VMEM for these decode shapes (bf16
-    caches, the smallest-footprint mode)?  Greedy auto-resolve uses this to
-    fall back to the XLA path instead of failing inside Mosaic — the HPO
-    space's larger d_models with long caps can exceed the ~128 MB budget."""
+    """Would ANY cell grouping fit VMEM for these decode shapes in one of
+    the auto cache modes (f32/bf16)?  Greedy auto-resolve uses this to fall
+    back to the XLA path instead of failing inside Mosaic — the HPO space's
+    larger d_models with long caps can exceed the ~128 MB budget."""
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
     b = _round_up(max(batch, 8), 8)
     wb = _weight_bytes_estimate(
         cfg.num_blocks, cfg.d_model, vocab, 1 if quantized else 4
     )
-    return _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, 2, wb) > 0
+    return any(
+        _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, cb, wb) > 0
+        for cb in (2, 4)
+    )
 
 
 @functools.partial(
@@ -453,9 +550,14 @@ def fused_greedy_decode(
     nb, d, h, dh = cfg.num_blocks, cfg.d_model, cfg.num_heads, cfg.head_dim
     true_batch, t_enc, _ = encoder_out.shape
     if cache_dtype is None and rows_per_cell is None:
-        # auto: f32 caches while the cell stays wide; long decode caps would
-        # shrink the batch-row group (more sequential cells, ~2× slower), so
-        # fall back to bf16 caches there.  Pass cache_dtype explicitly to pin.
+        # Auto cache-dtype ladder: cells decode SEQUENTIALLY, so wall time is
+        # ~(batch / rows_per_cell) × per-cell cost — maximizing rows_per_cell
+        # dominates.  Pick the HIGHEST precision that reaches the best
+        # achievable rows (f32 → bf16).  int8 self caches (cache_dtype=
+        # "int8") are explicit opt-in: they double rows again, but the
+        # per-element quantize/rescale tax measured SLOWER end-to-end than
+        # bf16 at fewer rows on v5e (9.2 vs 7.4 ms, flagship B=64), so auto
+        # never picks them.  Pass cache_dtype explicitly to pin a mode.
         from telugu_asr_tpu.ops.quant import is_quantized_leaf as _is_q
 
         lp_ = _round_up(max_length + 1, SEG)
@@ -463,9 +565,18 @@ def fused_greedy_decode(
         b_ = true_batch if interpret else _round_up(true_batch, 8)
         # int8-resident weights (~¼ the bytes) leave more VMEM for caches
         wb_ = (12 if _is_q(embedding_table) else 48) * d * d * nb
-        if _pick_rows(b_, nb, d, lp_, tc_, 4, wb_) < 32:
-            cache_dtype = "bfloat16"
+        ladder = [(None, 4), ("bfloat16", 2)]
+        rows_by = [
+            (_pick_rows(b_, nb, d, lp_, tc_, bytes_, wb_), name)
+            for name, bytes_ in ladder
+        ]
+        best_rows = max(r for r, _ in rows_by)
+        for r, name in rows_by:
+            if r == best_rows:
+                cache_dtype = name
+                break
     cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
+    cache_q8 = cdtype == jnp.int8
 
     # pad the batch to a multiple of 8 (Mosaic sublane-divisibility of blocks);
     # padded rows have zero-length encodings (the uniform-softmax law), are
@@ -484,6 +595,11 @@ def fused_greedy_decode(
 
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
+    # Cross K/V live in HBM and are DMA-sliced per cell; Mosaic requires the
+    # sliced memref's minor dim to be a 128 multiple, so the cross arrays
+    # (and the cross-path q/attn math) are lane-padded to dpad.  This is
+    # physically free: a D=192 vector register already spans 256 lanes.
+    dpad = _round_up(d, LANE_TILE)
     emb_arr = (
         embedding_table["q8"] if isinstance(embedding_table, dict) else embedding_table
     )
@@ -557,6 +673,15 @@ def fused_greedy_decode(
     ln1b = stack(["masked_mhsa", "ln", "beta"])[:, None, :]
     ln2g = stack(["cross_attention", "ln", "gamma"])[:, None, :]
     ln2b = stack(["cross_attention", "ln", "beta"])[:, None, :]
+    # cross-path weights pad to the dpad-wide math: wcq gains zero OUTPUT
+    # channels (qc pad lanes = 0), wco gains zero INPUT rows (pad-lane attn
+    # contributes nothing)
+    if dpad != d:
+        wcq = jnp.pad(wcq, [(0, 0), (0, 0), (0, dpad - d)])
+        wco = jnp.pad(wco, [(0, 0), (0, dpad - d), (0, 0)])
+        if quantized:
+            wcq_s = jnp.pad(wcq_s, [(0, 0), (0, 0), (0, dpad - d)],
+                            constant_values=1.0)
 
     b1 = stack(["ffn", "dense1", "bias"])       # [NB, HID]
     b2 = stack(["ffn", "dense2", "bias"])[:, None, :]
@@ -592,9 +717,15 @@ def fused_greedy_decode(
 
     rot_dim = rope_rot_dim(dh)
     inv_freq = np.asarray(rope_inv_freq(dh))
-    freq = jnp.asarray(_freq_lanes(d, dh, inv_freq, rot_dim))
+    freq_np = _freq_lanes(d, dh, inv_freq, rot_dim)
+    freq = jnp.asarray(freq_np)
     evenm = jnp.asarray(_even_mask(d))
     onesb = jnp.asarray(_ones_block(d, dh))
+    # dpad-wide cross variants: pad lanes get zero frequency (cos=1, sin=0 —
+    # exact pass-through of the zero pad values)
+    freq_c = jnp.asarray(np.pad(freq_np, [(0, 0), (0, dpad - d)]))
+    evenm_c = jnp.asarray(_even_mask(dpad))
+    onesb_c = jnp.asarray(_ones_block(dpad, dh))
     k_perm = None if rot_dim == dh else _rope_inplace_perm(d, dh, rot_dim)
 
     # ---- cross caches (time-major [NB, Tc, B, D]) --------------------------
@@ -614,9 +745,12 @@ def fused_greedy_decode(
                 # to the kernel's in-place layout so q·k pairs line up.
                 a = a[:, k_perm, :]
             a = a.transpose(2, 0, 1)  # [T, B, D]
-            arrs.append(jnp.pad(a, [(0, tc - t_enc), (0, 0), (0, 0)]))
-    crossk = jnp.stack(cks).astype(cdtype)
-    crossv = jnp.stack(cvs).astype(cdtype)
+            arrs.append(jnp.pad(a, [(0, tc - t_enc), (0, 0), (0, dpad - d)]))
+    # hybrid int8 mode keeps the cross caches bfloat16 (int8 HBM DMA slices
+    # fail Mosaic legalization; the cross scratch is the smaller term)
+    cross_dtype = jnp.dtype("bfloat16") if cache_q8 else cdtype
+    crossk = jnp.stack(cks).astype(cross_dtype)
+    crossv = jnp.stack(cvs).astype(cross_dtype)
 
     # ---- cross validity + the zero-length uniform-softmax law --------------
     cols = jnp.arange(tc)[None, :]
@@ -635,7 +769,8 @@ def fused_greedy_decode(
     row_pad_t = (jnp.arange(batch) >= true_batch).astype(jnp.float32)[None, :, None]
 
     # ---- grid / specs ------------------------------------------------------
-    weight_arrays = [emb, cls_w, onesb, wq, wk, wv, wo, wcq, wco, w1a, w1b_, w2]
+    weight_arrays = [emb, cls_w, onesb, onesb_c, wq, wk, wv, wo, wcq, wco,
+                     w1a, w1b_, w2]
     if quantized:
         scale_arrays = [emb_s, cls_s, wq_s, wk_s, wv_s, wo_s, wcq_s, wco_s,
                         w1a_s, w1b_s, w2_s]
@@ -663,6 +798,7 @@ def fused_greedy_decode(
     in_specs = [
         const(emb.shape), const(cls_w.shape), const(cls_b.shape),
         const(freq.shape), const(evenm.shape), const(onesb.shape),
+        const(freq_c.shape), const(evenm_c.shape), const(onesb_c.shape),
         const(wq.shape), const(wk.shape), const(wv.shape), const(wo.shape),
         const(ln1g.shape), const(ln1b.shape),
         const(wcq.shape), const(wco.shape),
@@ -670,10 +806,10 @@ def fused_greedy_decode(
         const(w1a.shape), const(w1b_.shape), const(b1a.shape), const(b1b.shape),
         const(w2.shape), const(b2.shape),
         const(ln3g.shape), const(ln3b.shape),
-        pl.BlockSpec((nb, tc, rows, d), lambda c: (0, 0, c, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, tc, rows, d), lambda c: (0, 0, c, 0),
-                     memory_space=pltpu.VMEM),
+        # cross K/V stay in HBM; the kernel DMAs each cell's row slice into
+        # single-buffered scratch (blocked VMEM inputs are double-buffered)
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((tc, rows, 1), lambda c: (0, c, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0),
@@ -694,6 +830,7 @@ def fused_greedy_decode(
         pad_id=pad_id,
         precise_scores=precise_scores,
         quantized=quantized,
+        cache_q8=cache_q8,
     )
 
     tokens3 = pl.pallas_call(
@@ -706,14 +843,18 @@ def fused_greedy_decode(
         scratch_shapes=[
             pltpu.VMEM((nb, lp, rows, d), cdtype),
             pltpu.VMEM((nb, lp, rows, d), cdtype),
-        ],
+            pltpu.VMEM((nb, tc, rows, dpad), cross_dtype),
+            pltpu.VMEM((nb, tc, rows, dpad), cross_dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ] + ([pltpu.VMEM((lp, rows, 2 * nb), jnp.float32)] if cache_q8 else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        emb, cls_w, cls_b, freq, evenm, onesb,
+        emb, cls_w, cls_b, freq, evenm, onesb, freq_c, evenm_c, onesb_c,
         wq, wk, wv, wo, ln1g, ln1b,
         wcq, wco, ln2g, ln2b,
         w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,

@@ -241,7 +241,7 @@ def fused_log_mel(
         num_scalar_prefetch=2,
         grid=(batch, num_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # planes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # planes stay in HBM
             pl.BlockSpec(
                 (atoms_per_frame * atom_pad, 2 * num_bins),
                 lambda b, t, *_: (0, 0),

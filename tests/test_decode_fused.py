@@ -150,6 +150,29 @@ def test_greedy_decode_accepts_int8_tree():
     np.testing.assert_array_equal(np.asarray(len_q), np.asarray(len_f))
 
 
+def test_fused_int8_cache_token_parity():
+    """int8 KV caches (per-(step,block) scales) introduce ~0.8% score error;
+    on a peaked model the decoded tokens must still match the XLA f32 path
+    (zero-length rows included: unwritten scale columns must not NaN)."""
+    for zero_row in (False, True):
+        model, params, enc_out, enc_mask = _setup(zero_row=zero_row)
+        kwargs = dict(max_length=12, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+        tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                     attention_impl="xla", **kwargs)
+        tok_f, len_f = _fused(model, params, enc_out, enc_mask, 12,
+                              cache_dtype="int8")
+        np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+        np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_int8_cache_xla_path_rejected():
+    model, params, enc_out, enc_mask = _setup()
+    with pytest.raises(ValueError, match="fused-kernel mode"):
+        greedy_decode(model, params, enc_out, enc_mask, max_length=6,
+                      bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                      attention_impl="xla", cache_dtype="int8")
+
+
 def test_fused_partial_rope_token_parity():
     """head_dim=64 ⇒ rot_dim=32 < head_dim: the kernel rotates in place and
     lane-remaps the cross-K cache (per-head dot products are permutation

@@ -26,7 +26,10 @@ def main() -> None:
     parser.add_argument("--seconds", type=float, default=5.46)
     parser.add_argument("--trials", type=int, default=5)
     parser.add_argument("--inner", type=int, default=4)
-    parser.add_argument("--precise-scores", action="store_true", default=True)
+    parser.add_argument("--fast-scores", action="store_true",
+                        help="bf16 q·k head-sum (precise_scores=False)")
+    parser.add_argument("--rows-per-cell", type=int, default=None,
+                        help="pin the batch-row group size (default: auto)")
     args = parser.parse_args()
 
     sys.path.insert(0, ".")
@@ -75,7 +78,8 @@ def main() -> None:
             dec_params, model.cfg.decoder, enc_out, enc_mask, emb, cls_w, cls_b,
             max_len, bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id, cache_dtype=args.cache_dtype,
-            precise_scores=args.precise_scores,
+            precise_scores=not args.fast_scores,
+            rows_per_cell=args.rows_per_cell,
         )
         return jnp.sum(tok) + jnp.sum(ln)
 
