@@ -157,8 +157,10 @@ def _kernel(
     eos_id: int,
     pad_id: int,
     precise_scores: bool,
+    fast_segments: bool = False,
     quantized: bool = False,
     cache_q8: bool = False,
+    probe: str = "none",
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -214,21 +216,26 @@ def _kernel(
     scale = 1.0 / (head_dim ** 0.5)
     n_self_segs = lp // SEG
     n_cross_segs = tc // SEG
+    # fast_segments: the [SEG, R, D] per-segment vector chain (mask select,
+    # exp, probs·V, reduction trees) runs bfloat16 — the online-softmax carry
+    # (m/den/acc) and everything outside flash_segment stay float32.  Halves
+    # the flash temp VMEM; same error class as the bf16 cache mode.
+    vdt = jnp.bfloat16 if fast_segments else jnp.float32
 
     def head_sums(g, ones_ref):
         """[M, W] q·k products → per-head sums replicated per head (MXU).
         The ones matrix is block-diagonal, so the matmul runs per diagonal
-        128-lane tile (off-diagonal tiles are zero)."""
+        128-lane tile (off-diagonal tiles are zero).  Accumulation is f32 in
+        the MXU either way; ``vdt`` output rounds once at write-out."""
         w = g.shape[1]
         outs = []
         for lo in range(0, w, LANE_TILE):
             hi = min(lo + LANE_TILE, w)
             gi = g[:, lo:hi]
-            oi = ones_ref[lo:hi, lo:hi]
             if not precise_scores:
                 gi = gi.astype(jnp.bfloat16)
-                oi = oi.astype(jnp.bfloat16)
-            outs.append(jnp.dot(gi, oi, preferred_element_type=jnp.float32))
+            oi = ones_ref[lo:hi, lo:hi].astype(gi.dtype)
+            outs.append(jnp.dot(gi, oi, preferred_element_type=vdt))
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
     def rope(x, cos, sin, evm):
@@ -267,27 +274,44 @@ def _kernel(
 
     def flash_segment(q, kseg, vseg, valid, carry, ones_ref=onesb,
                       kscale=None, vscale=None):
-        """One SEG-column online-softmax update.  q [R, W] pre-scaled;
-        kseg/vseg [SEG, R, W] f32; valid [SEG, R, 1] bool; kscale/vscale
-        [SEG, R, 1] per-column int8-cache scales (None = float caches)."""
+        """One SEG-column online-softmax update.  q [R, W] pre-scaled f32;
+        kseg/vseg [SEG, R, W] in ``vdt``; valid [SEG, R, 1] bool;
+        kscale/vscale [SEG, R, 1] per-column int8-cache scales (None = float
+        caches).  The carry (m/den/acc, [1, R, W]) is always f32."""
         m, den, acc = carry
         w = q.shape[-1]
-        g = kseg * q[None]
-        si = head_sums(g.reshape(SEG * r, w), ones_ref).reshape(SEG, r, w)
+        if probe == "noseg":
+            return m, den, acc
+        g = kseg * q[None].astype(vdt)
+        if probe == "nomm":
+            si = g
+        else:
+            si = head_sums(g.reshape(SEG * r, w), ones_ref).reshape(SEG, r, w)
         if kscale is not None:
-            si = si * kscale
-        si = jnp.where(valid, si, MASK_BIAS)
-        m2 = jnp.maximum(m, tree_max(si))
-        sc = jnp.exp(m - m2)
-        e = jnp.exp(si - m2)
-        ev = (e * vscale if vscale is not None else e) * vseg
-        w = SEG
-        te, tv = e, ev
-        while w > 1:
-            w //= 2
-            te = te[:w] + te[w:2 * w]
-            tv = tv[:w] + tv[w:2 * w]
-        return m2, den * sc + te, acc * sc + tv
+            si = si * kscale.astype(vdt)
+        if probe != "nomask":
+            si = jnp.where(valid, si, vdt(MASK_BIAS))
+            m2 = jnp.maximum(m, tree_max(si).astype(jnp.float32))
+        else:
+            m2 = m
+        if probe == "noexp":
+            sc = m - m2
+            e = si - m2.astype(vdt)
+        else:
+            sc = jnp.exp(m - m2)
+            e = jnp.exp(si - m2.astype(vdt))
+        ev = (e * vscale.astype(vdt) if vscale is not None else e) * vseg
+        if probe == "notree":
+            te, tv = e[:1], ev[:1]
+        else:
+            w = SEG
+            te, tv = e, ev
+            while w > 1:
+                w //= 2
+                te = te[:w] + te[w:2 * w]
+                tv = tv[:w] + tv[w:2 * w]
+        return (m2, den * sc + te.astype(jnp.float32),
+                acc * sc + tv.astype(jnp.float32))
 
     def flash_init(w=d):
         return (
@@ -356,8 +380,8 @@ def _kernel(
             carry_a = flash_init()
             for si_ in range(n_self_segs):
                 def seg_fn(m_, d_, a_, si_=si_, b=b, q=q):
-                    kseg = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                    vseg = vself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                    kseg = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
+                    vseg = vself[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
                     tokc = tok_ref[si_ * SEG:(si_ + 1) * SEG]
                     live = (col3 + si_ * SEG) <= s
                     # PAD-query quirk: a PAD current token attends everything
@@ -385,8 +409,8 @@ def _kernel(
             qc = jnp.where(qzero[0] > 0, 0.0, qc)
             carry_c = flash_init(dp)
             for si_ in range(n_cross_segs):
-                kseg = crossk_v[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                vseg = crossv_v[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                kseg = crossk_v[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
+                vseg = crossv_v[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
                 valid = cross_valid[si_ * SEG:(si_ + 1) * SEG] > 0
                 carry_c = flash_segment(qc, kseg, vseg, valid, carry_c,
                                         ones_ref=onesb_c)
@@ -410,6 +434,10 @@ def _kernel(
 
     def cond(carry):
         s, finished = carry
+        if probe != "none":
+            # probes ablate math, so argmax is garbage — pin the step count
+            # to the full cap so probe timings are comparable
+            return s < max_length
         return (s < max_length) & (jnp.min(finished) < 1)
 
     # Batch-padding rows are born finished: they have zero-length encodings
@@ -465,10 +493,15 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
         if batch % rows:
             continue
         srows = _round_up(rows, 32) if cache_bytes == 1 else rows
+        # flash temps (rough): int8 mode runs extra per-segment vector ops
+        # (scale slices, si/ev rescales) whose f32 temps measured ~+10 MB at
+        # rows=32/lp=448 — a 12× multiplier there compiled to 128.36 MB used
+        # (369 KB over capacity), so the int8 law charges 22×
+        temps = (22 if cache_bytes == 1 else 12) * SEG * rows * dp * 4
         cell = (
             2 * n_blocks * lp * srows * dp * cache_bytes      # self K/V scratch
             + 2 * n_blocks * tc * rows * dp * cross_bytes     # cross scratch
-            + 12 * SEG * rows * dp * 4                       # flash temps (rough)
+            + temps
         )
         if cache_bytes == 1:
             # per-row self-scale scratch [Lp, R, 2NB] (lanes pad to 128)
@@ -512,7 +545,7 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
     static_argnames=(
         "cfg", "max_length", "bos_id", "eos_id", "pad_id",
         "parity_unmasked_cross", "cache_dtype", "rows_per_cell",
-        "precise_scores", "interpret",
+        "precise_scores", "fast_segments", "interpret",
     ),
 )
 def fused_greedy_decode(
@@ -532,6 +565,7 @@ def fused_greedy_decode(
     cache_dtype: Optional[str] = None,
     rows_per_cell: Optional[int] = None,
     precise_scores: bool = True,
+    fast_segments: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the whole greedy decode in one Pallas kernel.
@@ -820,6 +854,12 @@ def fused_greedy_decode(
     if quantized:
         in_specs += [const(a.shape) for a in scale_arrays]
 
+    # Development-only timing probe (tools/probe_fused_costs.py): ablates one
+    # class of per-segment work to expose the kernel's cost distribution.
+    # NEVER set in production — results are numerically wrong under a probe.
+    import os as _os
+
+    probe = _os.environ.get("TELUGU_FUSED_PROBE", "none")
     kernel = functools.partial(
         _kernel,
         n_blocks=nb,
@@ -829,8 +869,10 @@ def fused_greedy_decode(
         eos_id=eos_id,
         pad_id=pad_id,
         precise_scores=precise_scores,
+        fast_segments=fast_segments,
         quantized=quantized,
         cache_q8=cache_q8,
+        probe=probe,
     )
 
     tokens3 = pl.pallas_call(

@@ -98,6 +98,29 @@ def test_fused_bf16_cache_runs():
     assert np.all(np.asarray(len_f) >= 1)
 
 
+def test_fused_fast_segments_high_agreement():
+    """fast_segments rounds the attention PROBABILITIES to bfloat16 (unlike
+    the int8 cache mode, which only rounds scores and keeps downstream math
+    f32), so exact token parity does not survive an untrained tiny model's
+    near-ties.  Measured agreement vs the XLA f32 path is ~93% across seeds
+    (worst case: untrained weights → near-uniform attention); assert a
+    conservative floor and the structural laws (shapes, length bounds)."""
+    agree = total = 0
+    for cache_dtype in (None, "bfloat16", "int8"):
+        for seed in range(3):
+            model, params, enc_out, enc_mask = _setup(seed=seed * 7)
+            tok_x, _ = greedy_decode(model, params, enc_out, enc_mask,
+                                     max_length=12, bos_id=BOS, eos_id=EOS,
+                                     pad_id=PAD, attention_impl="xla")
+            tok_f, len_f = _fused(model, params, enc_out, enc_mask, 12,
+                                  cache_dtype=cache_dtype, fast_segments=True)
+            assert tok_f.shape == tok_x.shape
+            assert np.all(np.asarray(len_f) >= 1)
+            agree += int(np.sum(np.asarray(tok_x) == np.asarray(tok_f)))
+            total += tok_x.size
+    assert agree / total >= 0.85, f"token agreement {agree}/{total}"
+
+
 def test_fused_int8_token_parity():
     """An int8-quantized tree served VMEM-resident by the kernel must decode
     the same tokens as the XLA path over the dequantized weights (both paths
@@ -228,6 +251,21 @@ def test_fused_vmem_fit_law():
             params["classifier"]["kernel"], params["classifier"]["bias"],
             100_000, bos_id=BOS, eos_id=EOS, pad_id=PAD,
             cache_dtype="bfloat16", interpret=True)
+
+
+def test_fused_vmem_law_int8_long_cap():
+    """Regression: the int8-cache mode's extra per-segment temps (scale
+    slices, si/ev rescales) must be charged by the budget law.  At the
+    17.73 s production bucket (lp=448, tc=224, flagship d192×6) a 12×-temps
+    law picked rows=32, which compiled to 128.36 MB of VMEM — 369 KB OVER
+    capacity (measured on v5e).  The law must cap int8 at 16 rows there."""
+    from telugu_asr_tpu.ops.pallas.decode_fused import (
+        _pick_rows, _weight_bytes_estimate)
+
+    wb = _weight_bytes_estimate(6, 192, 237, 4)
+    assert _pick_rows(64, 6, 192, 448, 224, 1, wb) <= 16
+    # the flagship bucket still reaches the single-cell grouping
+    assert _pick_rows(64, 6, 192, 160, 64, 1, wb) == 64
 
 
 def test_fused_pad_rows_born_finished():

@@ -28,6 +28,8 @@ def main() -> None:
     parser.add_argument("--inner", type=int, default=4)
     parser.add_argument("--fast-scores", action="store_true",
                         help="bf16 q·k head-sum (precise_scores=False)")
+    parser.add_argument("--fast-segments", action="store_true",
+                        help="bf16 per-segment vector math (mask/exp/trees)")
     parser.add_argument("--rows-per-cell", type=int, default=None,
                         help="pin the batch-row group size (default: auto)")
     args = parser.parse_args()
@@ -79,6 +81,7 @@ def main() -> None:
             max_len, bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id, cache_dtype=args.cache_dtype,
             precise_scores=not args.fast_scores,
+            fast_segments=args.fast_segments,
             rows_per_cell=args.rows_per_cell,
         )
         return jnp.sum(tok) + jnp.sum(ln)
