@@ -28,9 +28,15 @@ DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/telugu_asr_tpu/xla")
 def setup_environment(
     compilation_cache_dir: Optional[str] = DEFAULT_CACHE_DIR,
     matmul_precision: Optional[str] = None,
+    platform: Optional[str] = None,
 ) -> None:
     import jax
 
+    if platform:
+        # must run before any backend initialization (first jax.devices()
+        # call); env vars alone are ignored when a sitecustomize registers
+        # a plugin backend in every process, so set the config directly
+        jax.config.update("jax_platforms", platform)
     if compilation_cache_dir:
         os.makedirs(compilation_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", compilation_cache_dir)

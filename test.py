@@ -30,6 +30,10 @@ def main() -> None:
         action="store_true",
         help="reproduce the reference's unmasked cross-attention during decode",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (default: auto — the TPU when present)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -37,7 +41,7 @@ def main() -> None:
 
     from telugu_asr_tpu.utils import setup_environment
 
-    setup_environment()
+    setup_environment(platform=args.platform)
 
     from telugu_asr_tpu.configs import load_config
     from telugu_asr_tpu.eval.harness import run_testing

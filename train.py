@@ -33,6 +33,10 @@ def main() -> None:
         "--val-wer-every", type=int, default=0,
         help="compute greedy WER on validation batches every N epochs (0=off)",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (default: auto — the TPU when present)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -40,7 +44,7 @@ def main() -> None:
 
     from telugu_asr_tpu.utils import setup_environment
 
-    setup_environment()
+    setup_environment(platform=args.platform)
 
     from telugu_asr_tpu.audio.augment import Augmentation
     from telugu_asr_tpu.configs import load_config

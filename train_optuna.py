@@ -86,6 +86,10 @@ def main() -> None:
     parser.add_argument("--wandb-project", default=None,
                         help="log per-trial metrics to this W&B project "
                              "(reference train_optuna.py:24-25 parity)")
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (default: auto — the TPU when present)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -103,7 +107,7 @@ def main() -> None:
     from telugu_asr_tpu.hpo.runner import make_objective
     from telugu_asr_tpu.utils import setup_environment
 
-    setup_environment()
+    setup_environment(platform=args.platform)
     config = load_config(args.config)
     featurizer, tokenizer = prepare_featurizers(config)
     train_ds, valid_ds = prepare_training_datasets(config, tokenizer, args.base_dir, args.seed)

@@ -40,6 +40,10 @@ def main() -> None:
         "--chunk-ms", type=int, default=200,
         help="simulated audio chunk size for --streaming",
     )
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (default: auto — the TPU when present)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.WARNING)
@@ -52,7 +56,7 @@ def main() -> None:
 
     from telugu_asr_tpu.utils import setup_environment
 
-    setup_environment()
+    setup_environment(platform=args.platform)
 
     import jax
     import jax.numpy as jnp
