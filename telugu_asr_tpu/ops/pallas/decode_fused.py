@@ -140,15 +140,14 @@ def _kernel(
     w2, b2,              # [NB, HP, D], [NB, 1, D]
     ln3g, ln3b,          # [NB, 1, D]
     # per-cell
-    crossk, crossv,      # [NB, Tc, B, D] in ANY/HBM (DMA'd per cell)
+    crossk, crossv,      # [n_cells, NB, Tc, R, Dp] in ANY/HBM (DMA'd per cell)
     cross_valid,         # [Tc, R, 1] float (1 = attend)
     qzero,               # [1, R, 1] float (1 = zero the cross query)
     row_pad,             # [1, R, 1] float (1 = batch-padding row: born finished)
-    # with quantized=True, 11 per-channel scale inputs follow (see below);
-    # then output tok_ref [Lp, R, 1] int32, scratch kself/vself
-    # [NB, Lp, R, D] cache dtype (int8 self caches pair with bf16 cross),
-    # cross scratch + 2 DMA semaphores, and (cache_q8) kvscale
-    # [Lp, R, 2*NB] f32
+    # with quantized=True, 11 per-channel scale inputs follow, then
+    # (cache_q8) cross_scale [1, R, 2NB] f32; then output tok_ref
+    # [Lp, R, 1] int32, scratch kself/vself/cross (all cache dtype) + 2 DMA
+    # semaphores, and (cache_q8) kvscale [Lp, R, 2*NB] f32
     *rest,
     n_blocks: int,
     head_dim: int,
@@ -167,14 +166,20 @@ def _kernel(
 
     rest = list(rest)
     if cache_q8:
-        # int8 SELF caches (hybrid mode): each written K/V column stores
-        # PER-ROW symmetric scales in ``kvscale`` [Lp, R, 2NB] (k at lane b,
-        # v at lane NB+b — static minor indices, dynamic step on the MAJOR
-        # dim, per Mosaic's dynamic-store law).  Halves self-cache VMEM vs
-        # bfloat16; ~0.8% score error, same class as the bf16 fast mode.
-        # The CROSS caches stay bfloat16: an int8 HBM→VMEM DMA slice fails
-        # Mosaic legalization (packed-sublane memref_slice), and the cross
-        # scratch is the smaller term anyway.
+        # int8 SELF caches: each written K/V column stores PER-ROW symmetric
+        # scales in ``kvscale`` [Lp, R, 2NB] (k at lane b, v at lane NB+b —
+        # static minor indices, dynamic step on the MAJOR dim, per Mosaic's
+        # dynamic-store law).  Halves self-cache VMEM vs bfloat16; ~0.8%
+        # score error, same class as the bf16 fast mode.
+        # The CROSS caches are int8 too, with PER-(block, row) scales over
+        # the whole time axis (``cross_scale`` [1, R, 2NB]): a per-row k
+        # scale folds into the query BEFORE the segment loop and a per-row v
+        # scale folds into the attention output AFTER it, so — unlike the
+        # self path's per-column scales — the int8 cross cache adds ZERO
+        # per-segment work.  The HBM arrays are CELL-MAJOR
+        # [n_cells, NB, Tc, R, Dp] precisely so the per-cell DMA indexes the
+        # outermost dim: slicing a packed int8 sublane dim fails Mosaic
+        # legalization, a major-dim index does not.
         kvscale = rest.pop()
     else:
         kvscale = None
@@ -185,6 +190,7 @@ def _kernel(
     vself = rest.pop()
     kself = rest.pop()
     tok_ref = rest.pop()
+    cross_scale = rest.pop() if cache_q8 else None
     if quantized:
         # int8-resident serving: the matmul weights (emb, cls_w, wq..wo,
         # wcq/wco, w1a/w1b_/w2) arrive as int8 with these per-output-channel
@@ -328,12 +334,8 @@ def _kernel(
     # measured: that halves the achievable rows_per_cell, and cells decode
     # sequentially at ~16 µs/step fixed cost each).
     cell = pl.program_id(0)
-    ck_copy = pltpu.make_async_copy(
-        crossk.at[:, :, pl.ds(cell * r, r), :], crossk_v, sem_k
-    )
-    cv_copy = pltpu.make_async_copy(
-        crossv.at[:, :, pl.ds(cell * r, r), :], crossv_v, sem_v
-    )
+    ck_copy = pltpu.make_async_copy(crossk.at[cell], crossk_v, sem_k)
+    cv_copy = pltpu.make_async_copy(crossv.at[cell], crossv_v, sem_v)
     ck_copy.start()
     cv_copy.start()
     tok_ref[:] = jnp.full(tok_ref.shape, pad_id, jnp.int32)
@@ -407,6 +409,10 @@ def _kernel(
             # input rows are zero, so nothing leaks) -------------------------
             qc = rope(mmq(x, wcq, wcq_s, b), cos_c, sin_c, evenm_c) * scale
             qc = jnp.where(qzero[0] > 0, 0.0, qc)
+            if cache_q8:
+                # per-(block, row) int8 cross-K scale, folded into the query
+                # (constant across time columns, so it commutes with q·k)
+                qc = qc * cross_scale[0, :, b:b + 1]
             carry_c = flash_init(dp)
             for si_ in range(n_cross_segs):
                 kseg = crossk_v[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
@@ -416,6 +422,10 @@ def _kernel(
                                         ones_ref=onesb_c)
             _, den, acc = carry_c
             cross = acc[0] / den[0]
+            if cache_q8:
+                # per-(block, row) int8 cross-V scale: Σ p_t (s·v_t) = s·Σ —
+                # folds into the output, zero per-segment work
+                cross = cross * cross_scale[0, :, n_blocks + b:n_blocks + b + 1]
             x = layer_norm(x + mmq(cross, wco, wco_s, b), ln2g[b], ln2b[b])
 
             # -- SwiGLU FFN (dense1 pre-split into value/gate halves) --------
@@ -479,15 +489,16 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
     8-row cell does not fit (callers fall back to the XLA path).
 
     Budget laws measured from Mosaic allocation dumps: the minor (lane) dim
-    is padded to a 128 multiple; cross K/V live in HBM and are DMA'd into
-    single-buffered scratch.  ``cache_bytes == 1`` is the hybrid int8 mode:
-    int8 SELF caches (sublanes tile at 32, so small cells pay padding) with
-    bfloat16 cross scratch."""
+    is padded to a 128 multiple; cross K/V live in HBM (cell-major) and are
+    DMA'd into single-buffered scratch.  ``cache_bytes == 1`` is the full
+    int8 mode: int8 SELF caches (sublanes tile at 32, so small cells pay
+    padding) AND int8 cross scratch (per-row scales fold into q / the
+    output, so the cross side carries no per-segment scale temps)."""
     dp = _round_up(d, LANE_TILE)
-    cross_bytes = 2 if cache_bytes == 1 else cache_bytes
-    # the cross HBM DMA slices the sublane (batch-row) dim: offsets/sizes
-    # must align to the cross dtype's packed sublane tile (f32 8, bf16 16)
-    row_tile = 16 if cross_bytes == 2 else 8
+    cross_bytes = cache_bytes
+    # the cross HBM DMA indexes only the major (cell) dim, so rows need only
+    # satisfy the blocked-sublane law of the VMEM-sliced inputs (f32 tile 8)
+    row_tile = 8
     best = 0
     for rows in range(row_tile, batch + 1, row_tile):
         if batch % rows:
@@ -780,11 +791,8 @@ def fused_greedy_decode(
                 a = a[:, k_perm, :]
             a = a.transpose(2, 0, 1)  # [T, B, D]
             arrs.append(jnp.pad(a, [(0, tc - t_enc), (0, 0), (0, dpad - d)]))
-    # hybrid int8 mode keeps the cross caches bfloat16 (int8 HBM DMA slices
-    # fail Mosaic legalization; the cross scratch is the smaller term)
-    cross_dtype = jnp.dtype("bfloat16") if cache_q8 else cdtype
-    crossk = jnp.stack(cks).astype(cross_dtype)
-    crossv = jnp.stack(cvs).astype(cross_dtype)
+    crossk_f = jnp.stack(cks)  # [NB, Tc, B, Dp] f32; dtype/layout applied
+    crossv_f = jnp.stack(cvs)  # below once rows_per_cell is known
 
     # ---- cross validity + the zero-length uniform-softmax law --------------
     cols = jnp.arange(tc)[None, :]
@@ -824,6 +832,36 @@ def fused_greedy_decode(
     assert batch % rows == 0
     n_cells = batch // rows
 
+    # ---- cross cache dtype + CELL-MAJOR layout -----------------------------
+    # [NB, Tc, B, Dp] → [n_cells, NB, Tc, rows, Dp]: the kernel's per-cell
+    # DMA indexes the OUTERMOST dim (a packed-int8 sublane slice fails Mosaic
+    # legalization; a major-dim index is always legal, and the copy is one
+    # contiguous block for every dtype).
+    if cache_q8:
+        # int8 cross caches, ONE symmetric scale per (block, row) across the
+        # whole time axis — the kernel folds the k scale into the query and
+        # the v scale into the attention output (zero per-segment work)
+        def q8_cross(a):
+            sc = jnp.maximum(
+                jnp.max(jnp.abs(a), axis=(1, 3)) / 127.0, 1e-12
+            )  # [NB, B]
+            q = jnp.round(a / sc[:, None, :, None]).astype(jnp.int8)
+            return q, sc
+
+        crossk_f, ksc = q8_cross(crossk_f)
+        crossv_f, vsc = q8_cross(crossv_f)
+        cross_scale = jnp.concatenate([ksc.T, vsc.T], axis=-1)[None]  # [1, B, 2NB]
+    else:
+        crossk_f = crossk_f.astype(cdtype)
+        crossv_f = crossv_f.astype(cdtype)
+        cross_scale = None
+
+    def cell_major(a):
+        return jnp.moveaxis(a.reshape(nb, tc, n_cells, rows, dpad), 2, 0)
+
+    crossk = cell_major(crossk_f)
+    crossv = cell_major(crossv_f)
+
     def const(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda c, _nd=nd: (0,) * _nd,
@@ -853,6 +891,11 @@ def fused_greedy_decode(
     ]
     if quantized:
         in_specs += [const(a.shape) for a in scale_arrays]
+    if cache_q8:
+        in_specs.append(
+            pl.BlockSpec((1, rows, 2 * nb), lambda c: (0, c, 0),
+                         memory_space=pltpu.VMEM)
+        )
 
     # Development-only timing probe (tools/probe_fused_costs.py): ablates one
     # class of per-segment work to expose the kernel's cost distribution.
@@ -885,8 +928,8 @@ def fused_greedy_decode(
         scratch_shapes=[
             pltpu.VMEM((nb, lp, rows, d), cdtype),
             pltpu.VMEM((nb, lp, rows, d), cdtype),
-            pltpu.VMEM((nb, tc, rows, dpad), cross_dtype),
-            pltpu.VMEM((nb, tc, rows, dpad), cross_dtype),
+            pltpu.VMEM((nb, tc, rows, dpad), cdtype),
+            pltpu.VMEM((nb, tc, rows, dpad), cdtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + ([pltpu.VMEM((lp, rows, 2 * nb), jnp.float32)] if cache_q8 else []),
@@ -902,6 +945,7 @@ def fused_greedy_decode(
         w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,
         crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
         *(scale_arrays if quantized else ()),
+        *((cross_scale,) if cache_q8 else ()),
     )
 
     tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]

@@ -254,16 +254,22 @@ def test_fused_vmem_fit_law():
 
 
 def test_fused_vmem_law_int8_long_cap():
-    """Regression: the int8-cache mode's extra per-segment temps (scale
-    slices, si/ev rescales) must be charged by the budget law.  At the
-    17.73 s production bucket (lp=448, tc=224, flagship d192×6) a 12×-temps
-    law picked rows=32, which compiled to 128.36 MB of VMEM — 369 KB OVER
-    capacity (measured on v5e).  The law must cap int8 at 16 rows there."""
+    """The int8-cache mode's extra per-segment temps (self-scale slices +
+    si/ev rescales) must be charged by the budget law: a 12×-temps law once
+    picked rows=32 at the 17.73 s bucket with BF16 cross scratch, which
+    compiled to 128.36 MB of VMEM — 369 KB OVER capacity (measured on v5e).
+    The law charges 22× temps for int8.  With the cross caches now int8 too
+    (cell-major DMA + fold-into-q scales: −22 MB of cross scratch at
+    rows=32 vs that measured overflow) the 17.73 s bucket reaches rows=32 —
+    2 cells instead of the bf16 mode's 4 (tools/validate_fused_configs.py
+    re-checks the fit on hardware)."""
     from telugu_asr_tpu.ops.pallas.decode_fused import (
         _pick_rows, _weight_bytes_estimate)
 
     wb = _weight_bytes_estimate(6, 192, 237, 4)
-    assert _pick_rows(64, 6, 192, 448, 224, 1, wb) <= 16
+    assert _pick_rows(64, 6, 192, 448, 224, 1, wb) == 32
+    # bf16 stays at 16 rows there (the 4-cell tail the README documents)
+    assert _pick_rows(64, 6, 192, 448, 224, 2, wb) == 16
     # the flagship bucket still reaches the single-cell grouping
     assert _pick_rows(64, 6, 192, 160, 64, 1, wb) == 64
 
