@@ -21,7 +21,13 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--seconds", type=float, default=5.46)
-    parser.add_argument("--int8", action="store_true")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve int8-quantized weights VMEM-resident")
+    parser.add_argument("--cache-dtype", default=None,
+                        choices=("bfloat16", "int8"),
+                        help="pin the KV-cache mode (int8 exercises the "
+                             "cell-major int8 cross caches; try with "
+                             "--seconds 17.73 for the 32-row tail cells)")
     args = parser.parse_args()
 
     sys.path.insert(0, ".")
@@ -97,7 +103,8 @@ def main() -> None:
                       eos_id=tokenizer.eos_token_id, pad_id=tokenizer.pad_token_id)
             t0 = time.perf_counter()
             tok_f, len_f = jax.block_until_ready(
-                greedy_decode(model, params, eo, em, attention_impl="fused", **kw)
+                greedy_decode(model, params, eo, em, attention_impl="fused",
+                              cache_dtype=args.cache_dtype, **kw)
             )
             compile_s = time.perf_counter() - t0
             tok_x, len_x = greedy_decode(
