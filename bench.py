@@ -268,7 +268,7 @@ def bench_moonshine_train(batch_size: int = 64) -> dict:
     }
 
 
-def bench_moonshine_decode() -> dict:
+def bench_moonshine_decode(cache_dtype=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -300,6 +300,7 @@ def bench_moonshine_decode() -> dict:
             bos_id=tokenizer.bos_token_id,
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id,
+            cache_dtype=cache_dtype,
         )
         # scalar checksum: fetching it forces the device to have finished
         # (this image's remote backend returns early from block_until_ready,
@@ -364,13 +365,18 @@ def main() -> None:
     parser.add_argument("--mode", choices=("decode", "train"), default="decode")
     parser.add_argument("--batch", type=int, default=None,
                         help="train-mode batch size override (64 moonshine / 8 conformer)")
+    parser.add_argument("--cache-dtype", default=None,
+                        choices=("bfloat16", "int8"),
+                        help="pin the fused-decode KV-cache mode "
+                             "(moonshine decode only; default: auto ladder)")
     args = parser.parse_args()
     if args.mode == "train":
         fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
         out = fn(args.batch) if args.batch else fn()
+    elif args.family == "moonshine":
+        out = bench_moonshine_decode(args.cache_dtype)
     else:
-        fn = bench_moonshine_decode if args.family == "moonshine" else bench_conformer_decode
-        out = fn()
+        out = bench_conformer_decode()
     print(json.dumps(out))
 
 

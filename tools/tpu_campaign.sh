@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# On-chip measurement campaign: run every pending TPU job in priority order,
+# logging to /tmp/campaign/. Safe to re-run (XLA cache makes repeats fast);
+# each step is individually time-bounded so one hung tunnel call cannot eat
+# the whole budget. Run from the repo root.
+set -u
+mkdir -p /tmp/campaign
+cd "$(dirname "$0")/.."
+
+run() {  # run <tag> <timeout_s> <cmd...>
+  local tag=$1 to=$2; shift 2
+  echo "=== $tag: $* (timeout ${to}s) ==="
+  timeout "$to" "$@" 2>&1 | tee "/tmp/campaign/$tag.log" | tail -20
+  echo "=== $tag rc=$? ==="
+}
+
+# 0. health gate: a trivial matmul must sync inside 120 s or the tunnel is down
+if ! timeout 120 python - <<'EOF'
+import jax, jax.numpy as jnp
+x = jax.jit(lambda a: jnp.sum(a @ a))(jnp.ones((256, 256)))
+print("tpu healthy:", float(x))
+EOF
+then echo "TPU TUNNEL DOWN — aborting campaign"; exit 1; fi
+
+# 1. headline bench (driver metric refresh) + full-pipeline int8 A/B
+run bench 1200 python bench.py
+run bench_int8 1200 python bench.py --cache-dtype int8
+
+# 2. tail bucket (17.73 s, cap 425): bf16 baseline vs the new int8 2x32 cells
+run tail_bf16 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype bfloat16
+run tail_int8 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype int8
+run tail_int8_fastseg 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype int8 --fast-segments
+
+# 3. flagship bucket: confirm int8 cross caches didn't regress the short cap
+run flag_f32 1200 python tools/bench_decode_fused.py
+run flag_int8 1200 python tools/bench_decode_fused.py --cache-dtype int8
+
+# 4. on-chip parity of the int8 cache mode across the HPO space + tail shape
+run validate_int8 2400 python tools/validate_fused_configs.py --cache-dtype int8
+run validate_int8_tail 2400 python tools/validate_fused_configs.py --cache-dtype int8 --seconds 17.73 --batch 64
+
+# 5. kernel cost distribution probes (flagship bucket)
+run probe 3600 python tools/probe_fused_costs.py
+
+echo "campaign complete — logs in /tmp/campaign/"
