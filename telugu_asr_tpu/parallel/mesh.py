@@ -33,6 +33,7 @@ __all__ = [
     "distributed_initialize",
     "make_global_batch",
     "make_global_replicated",
+    "tp_param_sharding",
 ]
 
 
@@ -111,6 +112,48 @@ def shard_batch(mesh: Mesh, batch: dict, batch_axis: str = "data") -> dict:
     """Device-put every array in a batch dict with batch-axis sharding."""
     sharding = batch_sharding(mesh, batch_axis)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def tp_param_sharding(mesh: Mesh, tree, model_axis: str = "model"):
+    """Megatron-style tensor-parallel shardings for a param-shaped pytree.
+
+    Returns a pytree of ``NamedSharding`` matching ``tree``: FFN dense1
+    kernels ``[D, H]`` split output channels over ``model_axis`` (biases
+    with them), dense2 kernels ``[H, D]`` split input rows (XLA inserts the
+    ``psum`` after the second matmul), and the classifier splits the vocab
+    dim; everything else (attention, norms, embeddings) is replicated.  The
+    rules are PATH-based (``ffn/dense1``, ``ffn/dense2``, ``classifier``),
+    so the same function shards the optimizer moments of a ``TrainState`` —
+    Adam's ``mu``/``nu`` mirror the param paths.
+
+    At the flagship 3.26M params TP is not profitable (SURVEY §2.2) — this
+    exists so the mesh's ``model`` axis is a REAL, numerically-verified
+    code path (``tests/test_parallel.py``: TP×DP step == DP-only step),
+    not just API surface, and scales to larger models unchanged.
+    """
+
+    def name(entry) -> str:
+        for attr in ("key", "name", "idx"):
+            if hasattr(entry, attr):
+                return str(getattr(entry, attr))
+        return str(entry)
+
+    def rule(path, leaf) -> PartitionSpec:
+        names = [name(p) for p in path]
+        nd = getattr(leaf, "ndim", 0)
+        if "ffn" in names and "dense1" in names:
+            return PartitionSpec(None, model_axis) if nd == 2 else (
+                PartitionSpec(model_axis) if nd == 1 else PartitionSpec())
+        if "ffn" in names and "dense2" in names:
+            return PartitionSpec(model_axis, None) if nd == 2 else PartitionSpec()
+        if "classifier" in names:
+            return PartitionSpec(None, model_axis) if nd == 2 else (
+                PartitionSpec(model_axis) if nd == 1 else PartitionSpec())
+        return PartitionSpec()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, rule(path, leaf)), tree
+    )
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int, pad_id: int = 2) -> tuple[dict, int]:

@@ -97,6 +97,36 @@ def test_dp_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_tp_dp_sharded_step_matches_dp(setup):
+    """A 4×2 (data, model) mesh with Megatron-split FFN/classifier params
+    (tp_param_sharding) must produce the same loss and updated params as the
+    pure-DP step — the model axis is a real, numerically-verified code path,
+    not just API surface."""
+    from telugu_asr_tpu.parallel.mesh import tp_param_sharding
+
+    _, model, params, opt, feat = setup
+    batch = make_batch()
+    step = make_train_step(model, opt, feat, global_batch_size=8, l2=1e-5, donate=False)
+    rng = jax.random.PRNGKey(7)
+
+    mesh_dp = make_mesh(("data",))
+    state1 = jax.device_put(TrainState.create(params, opt), replicated_sharding(mesh_dp))
+    state1, m1 = step(state1, shard_batch(mesh_dp, batch), rng)
+
+    mesh_tp = make_mesh(("data", "model"), (4, 2))
+    state2 = TrainState.create(params, opt)
+    state2 = jax.device_put(state2, tp_param_sharding(mesh_tp, state2))
+    state2, m2 = step(state2, shard_batch(mesh_tp, batch), rng)
+
+    # the FFN kernels really are split over the model axis
+    d1 = state2.params["decoder"]["blocks"][0]["ffn"]["dense1"]["kernel"]
+    assert d1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_mixed_precision_step(setup):
     """bf16 compute path: runs, finite, and close to the f32 loss."""
     _, model, params, opt, feat = setup
