@@ -44,6 +44,13 @@ def main() -> None:
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
     )
+    parser.add_argument(
+        "--longform-seconds", type=float, default=17.73,
+        help="files longer than this are transcribed through energy-aware "
+             "≤15 s windows (decode/longform.py; the model's training data "
+             "caps at 17.73 s — longer one-shot windows are out of "
+             "distribution); 0 disables windowing",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.WARNING)
@@ -126,6 +133,16 @@ def main() -> None:
     order = sorted(range(len(waves)), key=lambda i: len(waves[i][1]))
 
     results = {}
+    if args.longform_seconds > 0:
+        from telugu_asr_tpu.decode.longform import recognize_long_form
+
+        long_idx = [i for i in order if len(waves[i][1]) > args.longform_seconds * 16000]
+        for i in long_idx:
+            results[i] = recognize_long_form(
+                model, params, featurizer, tokenizer, waves[i][1],
+                decode_params=decode_params,
+            )
+        order = [i for i in order if i not in set(long_idx)]
     for start in range(0, len(order), args.batch_size):
         chunk = order[start : start + args.batch_size]
         max_n = max(len(waves[i][1]) for i in chunk)
