@@ -41,7 +41,9 @@ def segment_longform(
     n = int(len(wave))
     max_n = max(1, int(max_seconds * sample_rate))
     search_n = min(max(1, int(search_seconds * sample_rate)), max_n)
-    frame_n = max(1, int(frame_ms * sample_rate / 1000.0))
+    # never larger than the search window (a sub-frame window degrades to a
+    # plain boundary cut instead of crashing the reshape)
+    frame_n = min(max(1, int(frame_ms * sample_rate / 1000.0)), search_n)
     spans: List[Tuple[int, int]] = []
     start = 0
     while n - start > max_n:
@@ -72,17 +74,21 @@ def recognize_long_form(
     max_seconds: float = 15.0,
     search_seconds: float = 2.0,
     sample_rate: int = 16000,
+    batch_size: int = 16,
+    beam_size: int = 1,
     attention_impl: Optional[str] = None,
     cache_dtype: Optional[str] = None,
 ) -> str:
     """Transcribe arbitrarily long audio through ≤ ``max_seconds`` windows.
 
-    Segments are recognized as ONE padded batch (they share a compiled
-    shape: every span but the last is within ``frame_ms`` of ``max_seconds``
-    long, and the batch pads to the longest), then the per-segment texts are
-    stitched with single spaces.  ``decode_params`` lets the caller pass an
-    int8-quantized decoder tree while the encoder runs float (transcribe.py
-    --int8 convention).
+    Segments are recognized in padded batches of exactly ``batch_size`` rows
+    (short tails are padded with zero-length rows — the mask laws make them
+    inert — so an hour-long recording compiles the SAME program as a short
+    one and device memory stays bounded), then the per-segment texts are
+    stitched with single spaces in time order.  ``decode_params`` lets the
+    caller pass an int8-quantized decoder tree while the encoder runs float;
+    ``beam_size > 1`` runs beam search over the float params instead
+    (transcribe.py --int8/--beam conventions).
     """
     import jax.numpy as jnp
 
@@ -91,26 +97,42 @@ def recognize_long_form(
     spans = segment_longform(
         wave, sample_rate, max_seconds=max_seconds, search_seconds=search_seconds
     )
-    longest = max(end - start for start, end in spans)
-    padded = -(-longest // sample_rate) * sample_rate  # 1 s quantum
-    audio = np.zeros((len(spans), padded), np.float32)
-    lengths = np.zeros((len(spans),), np.int32)
-    for row, (start, end) in enumerate(spans):
-        audio[row, : end - start] = wave[start:end]
-        lengths[row] = end - start
-    feats, fl = featurizer(jnp.asarray(audio), jnp.asarray(lengths))
-    encoder_out, encoder_mask = model.encode(params, feats, fl)
-    tokens, _ = greedy_decode_staged(
-        model,
-        decode_params if decode_params is not None else params,
-        encoder_out,
-        encoder_mask,
-        max_length=default_max_length(int(feats.shape[1])),
-        bos_id=tokenizer.bos_token_id,
-        eos_id=tokenizer.eos_token_id,
-        pad_id=tokenizer.pad_token_id,
-        attention_impl=attention_impl,
-        cache_dtype=cache_dtype,
-    )
-    texts = tokenizer.batch_decode(np.asarray(tokens).tolist(), skip_special_tokens=True)
+    padded = -(-max(e - s for s, e in spans) // sample_rate) * sample_rate  # 1 s quantum
+    texts: List[str] = []
+    for lo in range(0, len(spans), batch_size):
+        group = spans[lo : lo + batch_size]
+        rows = batch_size if len(spans) > batch_size else len(group)
+        audio = np.zeros((rows, padded), np.float32)
+        lengths = np.zeros((rows,), np.int32)
+        for row, (start, end) in enumerate(group):
+            audio[row, : end - start] = wave[start:end]
+            lengths[row] = end - start
+        feats, fl = featurizer(jnp.asarray(audio), jnp.asarray(lengths))
+        encoder_out, encoder_mask = model.encode(params, feats, fl)
+        kwargs = dict(
+            max_length=default_max_length(int(feats.shape[1])),
+            bos_id=tokenizer.bos_token_id,
+            eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id,
+        )
+        if beam_size > 1:
+            from telugu_asr_tpu.decode.beam import beam_search_decode
+
+            tokens, _ = beam_search_decode(
+                model, params, encoder_out, encoder_mask,
+                beam_size=beam_size, **kwargs,
+            )
+        else:
+            tokens, _ = greedy_decode_staged(
+                model,
+                decode_params if decode_params is not None else params,
+                encoder_out,
+                encoder_mask,
+                attention_impl=attention_impl,
+                cache_dtype=cache_dtype,
+                **kwargs,
+            )
+        texts += tokenizer.batch_decode(
+            np.asarray(tokens)[: len(group)].tolist(), skip_special_tokens=True
+        )
     return " ".join(t.strip() for t in texts if t.strip())

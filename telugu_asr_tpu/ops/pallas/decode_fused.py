@@ -503,7 +503,11 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
     for rows in range(row_tile, batch + 1, row_tile):
         if batch % rows:
             continue
-        srows = _round_up(rows, 32) if cache_bytes == 1 else rows
+        # Mosaic allocates the [.., rows, dp] scratch in packed sublane
+        # tiles: 8 rows for f32, 16 for bf16, 32 for int8 — charge the
+        # PADDED row count for both the self and cross scratch (a rows=8
+        # bf16 cell physically occupies 16 rows of VMEM)
+        srows = _round_up(rows, {1: 32, 2: 16}.get(cache_bytes, 8))
         # flash temps (rough): int8 mode runs extra per-segment vector ops
         # (scale slices, si/ev rescales) whose f32 temps measured ~+10 MB at
         # rows=32/lp=448 — a 12× multiplier there compiled to 128.36 MB used
@@ -511,7 +515,7 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
         temps = (22 if cache_bytes == 1 else 12) * SEG * rows * dp * 4
         cell = (
             2 * n_blocks * lp * srows * dp * cache_bytes      # self K/V scratch
-            + 2 * n_blocks * tc * rows * dp * cross_bytes     # cross scratch
+            + 2 * n_blocks * tc * srows * dp * cross_bytes    # cross scratch
             + temps
         )
         if cache_bytes == 1:

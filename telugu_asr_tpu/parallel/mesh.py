@@ -119,9 +119,15 @@ def tp_param_sharding(mesh: Mesh, tree, model_axis: str = "model"):
 
     Returns a pytree of ``NamedSharding`` matching ``tree``: FFN dense1
     kernels ``[D, H]`` split output channels over ``model_axis`` (biases
-    with them), dense2 kernels ``[H, D]`` split input rows (XLA inserts the
-    ``psum`` after the second matmul), and the classifier splits the vocab
-    dim; everything else (attention, norms, embeddings) is replicated.  The
+    with them), dense2 kernels ``[H, D]`` split input rows, and the
+    classifier splits the vocab dim; everything else (attention, norms,
+    embeddings) is replicated.  GSPMD propagates the layouts and inserts
+    whatever collectives the computation needs — for a plain-activation FFN
+    that is the classic Megatron psum after dense2; for SwiGLU the
+    value/gate halves of the single fused dense1 kernel land on different
+    shards, so the gating product costs an extra resharding collective
+    (splitting dense1 into two kernels would make it shard-local; not done
+    — the fused-kernel layout is load-bearing for the decode path).  The
     rules are PATH-based (``ffn/dense1``, ``ffn/dense2``, ``classifier``),
     so the same function shards the optimizer moments of a ``TrainState`` —
     Adam's ``mu``/``nu`` mirror the param paths.

@@ -40,6 +40,15 @@ def test_short_wave_single_segment():
     assert segment_longform(wave, sr, max_seconds=15.0) == [(0, 3 * sr)]
 
 
+def test_sub_frame_search_window_degrades_to_boundary_cut():
+    """search window shorter than one RMS frame must not crash the reshape."""
+    sr = 16000
+    wave = _wave_with_silences(total_s=20.0, silence_at=())
+    spans = segment_longform(wave, sr, max_seconds=15.0, search_seconds=0.02)
+    assert spans[0][0] == 0 and spans[-1][1] == len(wave)
+    assert all(e - s <= 15.0 * sr for s, e in spans)
+
+
 def test_recognize_long_form_stitches():
     """End-to-end on a tiny model: the long-form text must equal the
     concatenation of recognizing each segment separately (same windows,
@@ -90,3 +99,12 @@ def test_recognize_long_form_stitches():
         parts.append(tokenizer.decode(np.asarray(toks)[0].tolist(),
                                       skip_special_tokens=True).strip())
     assert text == " ".join(p for p in parts if p)
+
+    # bounded batching: a batch_size smaller than the span count must chunk
+    # (padding short tails with inert zero-length rows) and produce the
+    # exact same stitched text
+    text_b2 = recognize_long_form(
+        model, params, featurizer, tokenizer, wave, max_seconds=3.5,
+        sample_rate=sr, batch_size=2,
+    )
+    assert text_b2 == text

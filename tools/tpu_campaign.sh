@@ -11,7 +11,7 @@ run() {  # run <tag> <timeout_s> <cmd...>
   local tag=$1 to=$2; shift 2
   echo "=== $tag: $* (timeout ${to}s) ==="
   timeout "$to" "$@" 2>&1 | tee "/tmp/campaign/$tag.log" | tail -20
-  echo "=== $tag rc=$? ==="
+  echo "=== $tag rc=${PIPESTATUS[0]} ==="  # the measured command, not tail's
 }
 
 # 0. health gate: a trivial matmul must sync inside 120 s or the tunnel is down

@@ -140,7 +140,8 @@ def main() -> None:
         for i in long_idx:
             results[i] = recognize_long_form(
                 model, params, featurizer, tokenizer, waves[i][1],
-                decode_params=decode_params,
+                decode_params=decode_params, batch_size=args.batch_size,
+                beam_size=args.beam,
             )
         order = [i for i in order if i not in set(long_idx)]
     for start in range(0, len(order), args.batch_size):
