@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 import numpy as np
 
@@ -35,34 +34,18 @@ BATCH = 64
 
 
 def _sync_timer(fn, *args, trials=5, inner=4, round_trip=0.0):
-    """Median seconds per call; ``inner`` back-to-back device-serialized calls
-    synchronized once through the scalar checksum each trial (the tunnel's
-    ~30 ms dispatch round-trip amortizes away; see memory: block_until_ready
-    returns early on this image's remote backend)."""
-    times = []
-    for _ in range(trials):
-        start = time.perf_counter()
-        checksum = None
-        for _ in range(inner):
-            checksum = fn(*args)
-        float(checksum)
-        times.append(max(time.perf_counter() - start - round_trip, 1e-9) / inner)
-    return sorted(times)[len(times) // 2]
+    """Median seconds/call via the shared checksum-sync recipe
+    (telugu_asr_tpu/utils/timing.py: block_until_ready returns early on this
+    image's remote backend, so timing fences through a scalar readback)."""
+    from telugu_asr_tpu.utils.timing import sync_timer
+
+    return sync_timer(fn, *args, trials=trials, inner=inner, round_trip=round_trip)
 
 
 def _round_trip_baseline(probe):
-    import jax
-    import jax.numpy as jnp
+    from telugu_asr_tpu.utils.timing import round_trip_baseline
 
-    @jax.jit
-    def _scalar(x):
-        return jnp.sum(x)
-
-    float(_scalar(probe))
-    start = time.perf_counter()
-    for _ in range(5):
-        float(_scalar(probe))
-    return (time.perf_counter() - start) / 5
+    return round_trip_baseline(probe)
 
 
 def _flagship_conformer(vocab_size: int):
@@ -319,33 +302,13 @@ def bench_moonshine_decode(cache_dtype=None) -> dict:
     for _, _, audio, lengths in batches:
         float(recognize(params, audio, lengths))
 
-    # host<->device round-trip baseline (subtracted from each trial)
-    @jax.jit
-    def _scalar(x):
-        return jnp.sum(x)
-
-    float(_scalar(batches[0][3]))
-    trip_start = time.perf_counter()
-    for _ in range(5):
-        float(_scalar(batches[0][3]))
-    round_trip = (time.perf_counter() - trip_start) / 5
-
-    # Per-bucket median over several trials; each trial runs `inner`
-    # back-to-back executions (device-serialized) and synchronizes ONCE via
-    # the scalar checksum, so the tunnel round-trip amortizes away.
-    trials, inner = 5, 4
+    # host<->device round-trip baseline (subtracted from each trial), then
+    # per-bucket medians via the shared checksum-sync recipe
+    round_trip = _round_trip_baseline(batches[0][3])
     total_time = 0.0
     total_audio = 0.0
     for seconds, count, audio, lengths in batches:
-        times = []
-        for _ in range(trials):
-            start = time.perf_counter()
-            checksum = None
-            for _ in range(inner):
-                checksum = recognize(params, audio, lengths)
-            float(checksum)  # single sync
-            times.append(max(time.perf_counter() - start - round_trip, 1e-9) / inner)
-        med = sorted(times)[len(times) // 2]
+        med = _sync_timer(recognize, params, audio, lengths, round_trip=round_trip)
         total_time += med * count
         total_audio += BATCH * seconds * count
     rtfx = total_audio / total_time
@@ -369,7 +332,17 @@ def main() -> None:
                         choices=("bfloat16", "int8"),
                         help="pin the fused-decode KV-cache mode "
                              "(moonshine decode only; default: auto ladder)")
+    parser.add_argument(
+        "--platform", default=None, choices=("cpu", "tpu"),
+        help="force a JAX backend (default: auto — the TPU when present)",
+    )
     args = parser.parse_args()
+    if args.platform:
+        from telugu_asr_tpu.utils import setup_environment
+
+        # before any backend init; the bench fns' own setup_environment()
+        # calls pass platform=None and leave this in place
+        setup_environment(platform=args.platform)
     if args.mode == "train":
         fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
         out = fn(args.batch) if args.batch else fn()

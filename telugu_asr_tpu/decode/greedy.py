@@ -124,12 +124,23 @@ def greedy_decode(
         # Auto-selected fused must also FIT: larger HPO d_models with long
         # caps can exceed the VMEM-resident budget — fall back to XLA there
         # rather than fail inside Mosaic (shapes are static at trace time).
-        from telugu_asr_tpu.ops.quant import pytree_has_quantized as _has_q
-        from telugu_asr_tpu.ops.pallas.decode_fused import fused_fits
+        from telugu_asr_tpu.ops.pallas.decode_fused import (
+            fused_fits,
+            tree_fully_quantized,
+        )
 
+        # int8 residency (4× smaller weights) only applies when EVERY matmul
+        # weight is quantized — a partially quantized tree runs the float
+        # kernel, so budget f32 weights for it.  A pinned cache_dtype checks
+        # that mode's law (int8 fits strictly more shapes than f32/bf16).
         if not fused_fits(
             cfg, encoder_out.shape[0], encoder_out.shape[1], max_length,
-            vocab=model.cfg.vocab_size, quantized=_has_q(params),
+            vocab=model.cfg.vocab_size,
+            quantized=tree_fully_quantized(
+                params["decoder"], params["text_embedding"]["table"],
+                params["classifier"]["kernel"],
+            ),
+            cache_dtype=cache_dtype,
         ):
             impl = "xla"
     if impl == "fused":

@@ -178,11 +178,12 @@ def make_objective(
         best_val = float("inf")
         try:
             for epoch in range(epochs):
-                tloss = float("nan")
                 for _ in range(spe):
                     inputs, labels, _ = next(train_iter)
                     state, tm = train_step(state, {**inputs, **labels}, rng)
-                tloss = float(tm["loss"])
+                # one host sync per epoch; spe == 0 (train set smaller than
+                # the batch) logs nan instead of raising NameError
+                tloss = float(tm["loss"]) if spe else float("nan")
                 vlosses = []
                 for inputs, labels, _ in valid_dataset.batches(batch_size):
                     m = eval_step(state, {**inputs, **labels})

@@ -70,7 +70,20 @@ SEG = 32  # time columns per attention segment (straight-line, cond-gated)
 LANE_TILE = 128
 _VMEM_BUDGET = 118 * 1024 * 1024  # v5e VMEM is ~128 MB
 
-__all__ = ["fused_greedy_decode", "fused_supported"]
+__all__ = ["fused_greedy_decode", "fused_supported", "fused_fits",
+           "tree_fully_quantized"]
+
+# matmul weights the kernel keeps VMEM-resident (per decoder block)
+_MAT_PATHS = [
+    ["masked_mhsa", "mha", "query_kernel"],
+    ["masked_mhsa", "mha", "key_kernel"],
+    ["masked_mhsa", "mha", "value_kernel"],
+    ["masked_mhsa", "mha", "projection_kernel"],
+    ["cross_attention", "mha", "query_kernel"],
+    ["cross_attention", "mha", "projection_kernel"],
+    ["ffn", "dense1", "kernel"],
+    ["ffn", "dense2", "kernel"],
+]
 
 
 # ---------------------------------------------------------------------------
@@ -537,21 +550,51 @@ def _weight_bytes_estimate(n_blocks: int, d: int, vocab: int,
     return (12 * d * d * n_blocks + 2 * vp * d + dp * dp) * itemsize
 
 
+def tree_fully_quantized(decoder_params: dict, embedding_table,
+                         classifier_kernel) -> bool:
+    """True iff EVERY matmul weight the kernel touches is an int8 leaf —
+    the kernel's own int8-residency condition.  A partially quantized tree
+    is dequantized in the wrapper and runs the FLOAT kernel, so fit checks
+    must budget f32 weights for it (greedy auto-resolve uses this; checking
+    for *any* quantized leaf would underestimate the footprint 4×)."""
+    from telugu_asr_tpu.ops.quant import is_quantized_leaf
+
+    def get(blk, path):
+        return functools.reduce(lambda t, k: t[k], path, blk)
+
+    return (
+        is_quantized_leaf(embedding_table)
+        and is_quantized_leaf(classifier_kernel)
+        and all(
+            is_quantized_leaf(get(blk, p))
+            for blk in decoder_params["blocks"]
+            for p in _MAT_PATHS
+        )
+    )
+
+
 def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
-               vocab: int = 256, quantized: bool = False) -> bool:
-    """Would ANY cell grouping fit VMEM for these decode shapes in one of
-    the auto cache modes (f32/bf16)?  Greedy auto-resolve uses this to fall
-    back to the XLA path instead of failing inside Mosaic — the HPO space's
-    larger d_models with long caps can exceed the ~128 MB budget."""
+               vocab: int = 256, quantized: bool = False,
+               cache_dtype: Optional[str] = None) -> bool:
+    """Would ANY cell grouping fit VMEM for these decode shapes?  Greedy
+    auto-resolve uses this to fall back to the XLA path instead of failing
+    inside Mosaic — the HPO space's larger d_models with long caps can
+    exceed the ~128 MB budget.  With ``cache_dtype=None`` the auto ladder's
+    modes (f32/bf16) are checked; pinning a dtype checks that mode's law
+    (int8 fits strictly more shapes than either)."""
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
     b = _round_up(max(batch, 8), 8)
     wb = _weight_bytes_estimate(
         cfg.num_blocks, cfg.d_model, vocab, 1 if quantized else 4
     )
+    if cache_dtype is not None:
+        cbs = (jnp.dtype(cache_dtype).itemsize,)
+    else:
+        cbs = (2, 4)
     return any(
         _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, cb, wb) > 0
-        for cb in (2, 4)
+        for cb in cbs
     )
 
 
@@ -560,7 +603,7 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
     static_argnames=(
         "cfg", "max_length", "bos_id", "eos_id", "pad_id",
         "parity_unmasked_cross", "cache_dtype", "rows_per_cell",
-        "precise_scores", "fast_segments", "interpret",
+        "precise_scores", "fast_segments", "probe", "interpret",
     ),
 )
 def fused_greedy_decode(
@@ -581,6 +624,7 @@ def fused_greedy_decode(
     rows_per_cell: Optional[int] = None,
     precise_scores: bool = True,
     fast_segments: bool = False,
+    probe: str = "none",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the whole greedy decode in one Pallas kernel.
@@ -665,25 +709,11 @@ def fused_greedy_decode(
     from telugu_asr_tpu.ops.quant import dequantize_array, is_quantized_leaf
 
     blocks = params["blocks"]
-    _MAT_PATHS = [
-        ["masked_mhsa", "mha", "query_kernel"],
-        ["masked_mhsa", "mha", "key_kernel"],
-        ["masked_mhsa", "mha", "value_kernel"],
-        ["masked_mhsa", "mha", "projection_kernel"],
-        ["cross_attention", "mha", "query_kernel"],
-        ["cross_attention", "mha", "projection_kernel"],
-        ["ffn", "dense1", "kernel"],
-        ["ffn", "dense2", "kernel"],
-    ]
 
     def get(blk, path):
         return functools.reduce(lambda t, k: t[k], path, blk)
 
-    quantized = (
-        is_quantized_leaf(embedding_table)
-        and is_quantized_leaf(classifier_kernel)
-        and all(is_quantized_leaf(get(blk, p)) for blk in blocks for p in _MAT_PATHS)
-    )
+    quantized = tree_fully_quantized(params, embedding_table, classifier_kernel)
 
     def deq(leaf):
         if is_quantized_leaf(leaf):
@@ -901,12 +931,11 @@ def fused_greedy_decode(
                          memory_space=pltpu.VMEM)
         )
 
-    # Development-only timing probe (tools/probe_fused_costs.py): ablates one
-    # class of per-segment work to expose the kernel's cost distribution.
-    # NEVER set in production — results are numerically wrong under a probe.
-    import os as _os
-
-    probe = _os.environ.get("TELUGU_FUSED_PROBE", "none")
+    # ``probe`` is the development-only ablation hook (tools/
+    # probe_fused_costs.py) — an explicit STATIC argument so each probe mode
+    # is its own jit entry (an env-var read at trace time would silently
+    # reuse a kernel compiled under a different mode).  Results are
+    # numerically wrong under any probe != "none"; never set in production.
     kernel = functools.partial(
         _kernel,
         n_blocks=nb,

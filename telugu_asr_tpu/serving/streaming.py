@@ -70,11 +70,15 @@ class StreamingRecognizer:
         partial_interval: float = 1.0,
         buckets_seconds: Tuple[float, ...] = DEFAULT_BUCKETS_SECONDS,
         attention_impl: Optional[str] = None,
+        decode_params: Optional[dict] = None,
     ):
         self.model = model
         self.params = params
         self.featurizer = featurizer
         self.tokenizer = tokenizer
+        # e.g. an int8-quantized tree served VMEM-resident by the fused
+        # kernel while the encoder runs the float params (transcribe --int8)
+        self.decode_params = decode_params if decode_params is not None else params
         self.sample_rate = int(sample_rate)
         self.partial_interval = float(partial_interval)
         self.bucket_samples = sorted(
@@ -159,7 +163,7 @@ class StreamingRecognizer:
         )
         tokens, token_lengths = greedy_decode(
             self.model,
-            self.params,
+            self.decode_params,
             encoder_out,
             encoder_mask,
             max_length=max_length,

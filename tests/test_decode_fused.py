@@ -274,6 +274,28 @@ def test_fused_vmem_law_int8_long_cap():
     assert _pick_rows(64, 6, 192, 160, 64, 1, wb) == 64
 
 
+def test_fused_fits_cache_dtype_monotone():
+    """Pinning a cache dtype checks that mode's law; int8 fits everywhere a
+    float mode does (it is never bigger), and the auto check (no dtype) is
+    the union of f32/bf16."""
+    from telugu_asr_tpu.ops.pallas.decode_fused import fused_fits
+
+    cfg = tiny_config().decoder  # d16, 2 blocks — fits everything
+    for cap, t_enc, batch in [(48, 60, 8), (425, 222, 64), (1200, 222, 64)]:
+        auto = fused_fits(cfg, batch, t_enc, cap)
+        bf16 = fused_fits(cfg, batch, t_enc, cap, cache_dtype="bfloat16")
+        q8 = fused_fits(cfg, batch, t_enc, cap, cache_dtype="int8")
+        assert auto and bf16 and q8
+    # flagship-shaped at an extreme cap: int8 is at least as permissive
+    from telugu_asr_tpu.models.moonshine.decoder import DecoderConfig
+
+    big = DecoderConfig(d_model=192, num_blocks=6, num_heads=6, head_dim=32)
+    for cap in (130, 425, 900, 1400):
+        bf16 = fused_fits(big, 64, 222, cap, cache_dtype="bfloat16")
+        q8 = fused_fits(big, 64, 222, cap, cache_dtype="int8")
+        assert q8 >= bf16  # int8 never fits fewer shapes
+
+
 def test_fused_pad_rows_born_finished():
     """Batch rows added by cell padding must not disturb real rows and must
     not extend the decode loop (they are seeded finished; ADVICE r1)."""

@@ -14,8 +14,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
-import time
 
 
 def main() -> None:
@@ -82,6 +82,9 @@ def main() -> None:
             pad_id=tokenizer.pad_token_id, cache_dtype=args.cache_dtype,
             precise_scores=not args.fast_scores,
             fast_segments=args.fast_segments,
+            # probe_fused_costs.py sets the env per subprocess; forwarding it
+            # as the explicit static arg keys the jit cache per probe mode
+            probe=os.environ.get("TELUGU_FUSED_PROBE", "none"),
             rows_per_cell=args.rows_per_cell,
         )
         return jnp.sum(tok) + jnp.sum(ln)
@@ -89,27 +92,10 @@ def main() -> None:
     fargs = (dec_params, emb, cls_w, cls_b, enc_out, enc_mask)
     float(decode(*fargs))  # compile
 
-    @jax.jit
-    def _scalar(x):
-        return jnp.sum(x)
+    from telugu_asr_tpu.utils.timing import round_trip_baseline, sync_timer
 
-    float(_scalar(lengths))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        float(_scalar(lengths))
-    round_trip = (time.perf_counter() - t0) / 5
-
-    times = []
-    for _ in range(args.trials):
-        start = time.perf_counter()
-        checksum = None
-        for _ in range(args.inner):
-            checksum = decode(*fargs)
-        float(checksum)
-        times.append(
-            max(time.perf_counter() - start - round_trip, 1e-9) / args.inner
-        )
-    med = sorted(times)[len(times) // 2]
+    med = sync_timer(decode, *fargs, trials=args.trials, inner=args.inner,
+                     round_trip=round_trip_baseline(lengths))
     print(
         json.dumps(
             {

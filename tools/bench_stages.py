@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -72,20 +71,11 @@ def main() -> None:
         )
         return jnp.sum(tokens) + jnp.sum(lens)
 
-    @jax.jit
-    def _scalar(x):
-        return jnp.sum(x)
+    from telugu_asr_tpu.utils.timing import round_trip_baseline, sync_timer
 
     def timed(fn, *fargs):
-        times = []
-        for _ in range(args.trials):
-            start = time.perf_counter()
-            checksum = None
-            for _ in range(args.inner):
-                checksum = fn(*fargs)
-            float(checksum)
-            times.append(max(time.perf_counter() - start - trip, 1e-9) / args.inner)
-        return sorted(times)[len(times) // 2]
+        return sync_timer(fn, *fargs, trials=args.trials, inner=args.inner,
+                          round_trip=trip)
 
     rng = np.random.default_rng(0)
     buckets = [float(s) for s in args.buckets.split(",")]
@@ -97,11 +87,7 @@ def main() -> None:
         lengths = jnp.full((args.batch,), samples, jnp.int32)
         for fn in (stage_feat, stage_enc, stage_full):
             float(fn(params, audio, lengths))  # compile
-        float(_scalar(lengths))
-        t0 = time.perf_counter()
-        for _ in range(5):
-            float(_scalar(lengths))
-        trip = (time.perf_counter() - t0) / 5
+        trip = round_trip_baseline(lengths)
 
         t_feat = timed(stage_feat, params, audio, lengths)
         t_enc = timed(stage_enc, params, audio, lengths)

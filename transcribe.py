@@ -112,7 +112,9 @@ def main() -> None:
     if args.streaming:
         from telugu_asr_tpu.serving import StreamingRecognizer
 
-        recognizer = StreamingRecognizer(model, params, featurizer, tokenizer)
+        recognizer = StreamingRecognizer(
+            model, params, featurizer, tokenizer, decode_params=decode_params
+        )
         chunk_samples = max(1, int(16000 * args.chunk_ms / 1000))
         for p in paths:
             wave, _sr = read_wav_file(p)
