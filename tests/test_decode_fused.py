@@ -296,6 +296,26 @@ def test_fused_fits_cache_dtype_monotone():
         assert q8 >= bf16  # int8 never fits fewer shapes
 
 
+def test_auto_resolve_falls_back_when_unfit(monkeypatch):
+    """On a (faked) TPU backend, a cap far beyond any VMEM budget must
+    auto-resolve to the XLA path and decode fine — never reach the kernel's
+    ValueError (the fused_fits guard's contract)."""
+    import telugu_asr_tpu.decode.greedy as greedy_mod
+
+    model, params, enc_out, enc_mask = _setup()
+    # classifier forced to EOS so the giant-cap while_loop exits immediately
+    params["classifier"]["bias"] = (
+        jnp.zeros_like(params["classifier"]["bias"]).at[EOS].set(1e6)
+    )
+    params["classifier"]["kernel"] = jnp.zeros_like(params["classifier"]["kernel"])
+    monkeypatch.setattr(greedy_mod.jax, "default_backend", lambda: "tpu")
+    assert greedy_mod._resolve_attention_impl(None, model.cfg.decoder) == "fused"
+    tok, lens = greedy_decode(model, params, enc_out, enc_mask,
+                              max_length=200_000, bos_id=BOS, eos_id=EOS,
+                              pad_id=PAD)
+    assert np.all(np.asarray(lens) == 1)  # decoded via XLA, EOS first step
+
+
 def test_fused_pad_rows_born_finished():
     """Batch rows added by cell padding must not disturb real rows and must
     not extend the decode loop (they are seeded finished; ADVICE r1)."""
