@@ -274,6 +274,31 @@ def test_fused_vmem_law_int8_long_cap():
     assert _pick_rows(64, 6, 192, 160, 64, 1, wb) == 64
 
 
+def test_fused_multisegment_parity():
+    """Multi-SEGMENT flash (2+ cross segments from a long encoder, 2+ self
+    segments from a cap > 32): the online-softmax carry rescaling across
+    segments — and the int8 cross fold-into-q — must keep token parity with
+    the XLA path (the small-shape tests above only ever run one segment)."""
+    cfg = tiny_config()
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["kernel"] = params["classifier"]["kernel"] * 50.0
+    params["classifier"]["bias"] = params["classifier"]["bias"] * 50.0
+    # 400 mel frames → ~50 encoder frames → 2 cross segments of SEG=32
+    feats = jax.random.normal(jax.random.PRNGKey(3), (4, 400, 8))
+    lengths = jnp.asarray([400, 200, 350, 80])
+    enc_out, enc_mask = model.encode(params, feats, lengths)
+    assert enc_out.shape[1] > 32, enc_out.shape
+    kwargs = dict(max_length=40, bos_id=BOS, eos_id=EOS, pad_id=PAD)  # 2 self segs
+    tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                 attention_impl="xla", **kwargs)
+    for cache_dtype in (None, "int8"):
+        tok_f, len_f = _fused(model, params, enc_out, enc_mask, 40,
+                              cache_dtype=cache_dtype)
+        np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+        np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
 def test_fused_fits_cache_dtype_monotone():
     """Pinning a cache dtype checks that mode's law; int8 fits everywhere a
     float mode does (it is never bigger), and the auto check (no dtype) is
