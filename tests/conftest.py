@@ -80,6 +80,10 @@ _SLOW_TESTS = {
     "test_fused_partial_rope_token_parity",     # 10 s
     "test_fused_int8_token_parity",             # 7 s
     "test_fused_pad_rows_born_finished",        # 7 s
+    "test_fused_fast_segments_high_agreement",  # 26 s
+    "test_recognize_long_form_stitches",        # 17 s
+    "test_fused_multisegment_parity",           # 16 s
+    "test_fused_int8_cache_token_parity",       # 7 s
 }
 
 
