@@ -90,6 +90,7 @@ def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int
         "pad_id",
         "parity_unmasked_cross",
         "cache_dtype",
+        "cross_cache_dtype",
         "attention_impl",
     ),
 )
@@ -105,6 +106,7 @@ def greedy_decode(
     pad_id: int = 2,
     parity_unmasked_cross: bool = False,
     cache_dtype: Optional[str] = None,
+    cross_cache_dtype: Optional[str] = None,
     attention_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
@@ -141,6 +143,7 @@ def greedy_decode(
                 params["classifier"]["kernel"],
             ),
             cache_dtype=cache_dtype,
+            cross_cache_dtype=cross_cache_dtype,
         ):
             impl = "xla"
     if impl == "fused":
@@ -162,8 +165,9 @@ def greedy_decode(
             pad_id=pad_id,
             parity_unmasked_cross=parity_unmasked_cross,
             cache_dtype=cache_dtype,
+            cross_cache_dtype=cross_cache_dtype,
         )
-    if cache_dtype == "int8":
+    if cache_dtype == "int8" or cross_cache_dtype == "int8":
         raise ValueError(
             "int8 KV caches are a fused-kernel mode (per-column scale "
             "bookkeeping lives in the kernel); use attention_impl='fused' "

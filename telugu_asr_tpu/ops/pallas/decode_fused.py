@@ -172,6 +172,7 @@ def _kernel(
     fast_segments: bool = False,
     quantized: bool = False,
     cache_q8: bool = False,
+    cross_q8: bool = False,
     probe: str = "none",
 ):
     from jax.experimental import pallas as pl
@@ -184,18 +185,18 @@ def _kernel(
         # static minor indices, dynamic step on the MAJOR dim, per Mosaic's
         # dynamic-store law).  Halves self-cache VMEM vs bfloat16; ~0.8%
         # score error, same class as the bf16 fast mode.
-        # The CROSS caches are int8 too, with PER-(block, row) scales over
-        # the whole time axis (``cross_scale`` [1, R, 2NB]): a per-row k
-        # scale folds into the query BEFORE the segment loop and a per-row v
-        # scale folds into the attention output AFTER it, so — unlike the
-        # self path's per-column scales — the int8 cross cache adds ZERO
-        # per-segment work.  The HBM arrays are CELL-MAJOR
-        # [n_cells, NB, Tc, R, Dp] precisely so the per-cell DMA indexes the
-        # outermost dim: slicing a packed int8 sublane dim fails Mosaic
-        # legalization, a major-dim index does not.
         kvscale = rest.pop()
     else:
         kvscale = None
+    # int8 CROSS caches (independent of cache_q8 — the "mixed" sweet spot is
+    # bf16 self + int8 cross): PER-(block, row) scales over the whole time
+    # axis (``cross_scale`` [1, R, 2NB]).  The k scale folds into the query
+    # BEFORE the segment loop and the v scale into the attention output
+    # AFTER it, so — unlike the self path's per-column scales — int8 cross
+    # adds ZERO per-segment work.  The HBM arrays are CELL-MAJOR
+    # [n_cells, NB, Tc, R, Dp] precisely so the per-cell DMA indexes the
+    # outermost dim: slicing a packed int8 sublane dim fails Mosaic
+    # legalization, a major-dim index does not.
     sem_v = rest.pop()
     sem_k = rest.pop()
     crossv_v = rest.pop()
@@ -203,7 +204,10 @@ def _kernel(
     vself = rest.pop()
     kself = rest.pop()
     tok_ref = rest.pop()
-    cross_scale = rest.pop() if cache_q8 else None
+    # cross_q8 can hold WITHOUT cache_q8 (the "mixed" mode: bf16 self caches
+    # — no per-column rescale tax — with int8 cross, whose per-row scales
+    # fold into q / the output for free)
+    cross_scale = rest.pop() if cross_q8 else None
     if quantized:
         # int8-resident serving: the matmul weights (emb, cls_w, wq..wo,
         # wcq/wco, w1a/w1b_/w2) arrive as int8 with these per-output-channel
@@ -422,7 +426,7 @@ def _kernel(
             # input rows are zero, so nothing leaks) -------------------------
             qc = rope(mmq(x, wcq, wcq_s, b), cos_c, sin_c, evenm_c) * scale
             qc = jnp.where(qzero[0] > 0, 0.0, qc)
-            if cache_q8:
+            if cross_q8:
                 # per-(block, row) int8 cross-K scale, folded into the query
                 # (constant across time columns, so it commutes with q·k)
                 qc = qc * cross_scale[0, :, b:b + 1]
@@ -435,7 +439,7 @@ def _kernel(
                                         ones_ref=onesb_c)
             _, den, acc = carry_c
             cross = acc[0] / den[0]
-            if cache_q8:
+            if cross_q8:
                 # per-(block, row) int8 cross-V scale: Σ p_t (s·v_t) = s·Σ —
                 # folds into the output, zero per-segment work
                 cross = cross * cross_scale[0, :, n_blocks + b:n_blocks + b + 1]
@@ -496,7 +500,8 @@ def fused_supported(cfg) -> bool:
 
 
 def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
-               cache_bytes: int, weight_bytes: int) -> int:
+               cache_bytes: int, weight_bytes: int,
+               cross_bytes: Optional[int] = None) -> int:
     """Largest multiple-of-8 divisor of batch whose cell fits the VMEM budget
     (Mosaic requires blocked sublane dims divisible by 8); 0 if even the
     8-row cell does not fit (callers fall back to the XLA path).
@@ -508,27 +513,31 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
     padding) AND int8 cross scratch (per-row scales fold into q / the
     output, so the cross side carries no per-segment scale temps)."""
     dp = _round_up(d, LANE_TILE)
-    cross_bytes = cache_bytes
+    if cross_bytes is None:
+        cross_bytes = cache_bytes
     # the cross HBM DMA indexes only the major (cell) dim, so rows need only
     # satisfy the blocked-sublane law of the VMEM-sliced inputs (f32 tile 8)
     row_tile = 8
+
+    def tile_rows(rows: int, nbytes: int) -> int:
+        # Mosaic allocates the [.., rows, dp] scratch in packed sublane
+        # tiles: 8 rows for f32, 16 for bf16, 32 for int8 — charge the
+        # PADDED row count (a rows=8 bf16 cell physically occupies 16 rows)
+        return _round_up(rows, {1: 32, 2: 16}.get(nbytes, 8))
+
     best = 0
     for rows in range(row_tile, batch + 1, row_tile):
         if batch % rows:
             continue
-        # Mosaic allocates the [.., rows, dp] scratch in packed sublane
-        # tiles: 8 rows for f32, 16 for bf16, 32 for int8 — charge the
-        # PADDED row count for both the self and cross scratch (a rows=8
-        # bf16 cell physically occupies 16 rows of VMEM)
-        srows = _round_up(rows, {1: 32, 2: 16}.get(cache_bytes, 8))
-        # flash temps (rough): int8 mode runs extra per-segment vector ops
-        # (scale slices, si/ev rescales) whose f32 temps measured ~+10 MB at
-        # rows=32/lp=448 — a 12× multiplier there compiled to 128.36 MB used
-        # (369 KB over capacity), so the int8 law charges 22×
+        # flash temps (rough): int8 SELF caches run extra per-segment vector
+        # ops (scale slices, si/ev rescales) whose f32 temps measured
+        # ~+10 MB at rows=32/lp=448 — a 12× multiplier there compiled to
+        # 128.36 MB used (369 KB over capacity), so the self-q8 law charges
+        # 22×.  Int8 CROSS caches add nothing per segment (fold-into-q).
         temps = (22 if cache_bytes == 1 else 12) * SEG * rows * dp * 4
         cell = (
-            2 * n_blocks * lp * srows * dp * cache_bytes      # self K/V scratch
-            + 2 * n_blocks * tc * srows * dp * cross_bytes    # cross scratch
+            2 * n_blocks * lp * tile_rows(rows, cache_bytes) * dp * cache_bytes
+            + 2 * n_blocks * tc * tile_rows(rows, cross_bytes) * dp * cross_bytes
             + temps
         )
         if cache_bytes == 1:
@@ -575,7 +584,8 @@ def tree_fully_quantized(decoder_params: dict, embedding_table,
 
 def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
                vocab: int = 256, quantized: bool = False,
-               cache_dtype: Optional[str] = None) -> bool:
+               cache_dtype: Optional[str] = None,
+               cross_cache_dtype: Optional[str] = None) -> bool:
     """Would ANY cell grouping fit VMEM for these decode shapes?  Greedy
     auto-resolve uses this to fall back to the XLA path instead of failing
     inside Mosaic — the HPO space's larger d_models with long caps can
@@ -592,8 +602,10 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
         cbs = (jnp.dtype(cache_dtype).itemsize,)
     else:
         cbs = (2, 4)
+    crb = jnp.dtype(cross_cache_dtype).itemsize if cross_cache_dtype else None
     return any(
-        _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, cb, wb) > 0
+        _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, cb, wb,
+                   cross_bytes=crb) > 0
         for cb in cbs
     )
 
@@ -602,8 +614,9 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
     jax.jit,
     static_argnames=(
         "cfg", "max_length", "bos_id", "eos_id", "pad_id",
-        "parity_unmasked_cross", "cache_dtype", "rows_per_cell",
-        "precise_scores", "fast_segments", "probe", "interpret",
+        "parity_unmasked_cross", "cache_dtype", "cross_cache_dtype",
+        "rows_per_cell", "precise_scores", "fast_segments", "probe",
+        "interpret",
     ),
 )
 def fused_greedy_decode(
@@ -621,6 +634,7 @@ def fused_greedy_decode(
     pad_id: int,
     parity_unmasked_cross: bool = False,
     cache_dtype: Optional[str] = None,
+    cross_cache_dtype: Optional[str] = None,
     rows_per_cell: Optional[int] = None,
     precise_scores: bool = True,
     fast_segments: bool = False,
@@ -670,6 +684,11 @@ def fused_greedy_decode(
                 break
     cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
     cache_q8 = cdtype == jnp.int8
+    # The cross caches may take their OWN dtype ("mixed" modes) — the sweet
+    # spot is bf16 self (no per-column rescale tax) + int8 cross (per-row
+    # scales fold into q / the output for free, half the scratch).
+    crdtype = jnp.dtype(cross_cache_dtype) if cross_cache_dtype else cdtype
+    cross_q8 = crdtype == jnp.int8
 
     # pad the batch to a multiple of 8 (Mosaic sublane-divisibility of blocks);
     # padded rows have zero-length encodings (the uniform-softmax law), are
@@ -855,12 +874,13 @@ def fused_greedy_decode(
         int(np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize for a in weight_arrays
     )
     rows = rows_per_cell or _pick_rows(
-        batch, nb, d, lp, tc, cdtype.itemsize, weight_bytes
+        batch, nb, d, lp, tc, cdtype.itemsize, weight_bytes,
+        cross_bytes=crdtype.itemsize,
     )
     if rows == 0:
         raise ValueError(
             f"fused decode does not fit VMEM: d_model={d} n_blocks={nb} "
-            f"cap={max_length} t_enc={t_enc} cache={cdtype} — use "
+            f"cap={max_length} t_enc={t_enc} cache={cdtype}/{crdtype} — use "
             "attention_impl='xla' (greedy auto-resolve checks fused_fits)"
         )
     assert batch % rows == 0
@@ -871,7 +891,7 @@ def fused_greedy_decode(
     # DMA indexes the OUTERMOST dim (a packed-int8 sublane slice fails Mosaic
     # legalization; a major-dim index is always legal, and the copy is one
     # contiguous block for every dtype).
-    if cache_q8:
+    if cross_q8:
         # int8 cross caches, ONE symmetric scale per (block, row) across the
         # whole time axis — the kernel folds the k scale into the query and
         # the v scale into the attention output (zero per-segment work)
@@ -886,8 +906,8 @@ def fused_greedy_decode(
         crossv_f, vsc = q8_cross(crossv_f)
         cross_scale = jnp.concatenate([ksc.T, vsc.T], axis=-1)[None]  # [1, B, 2NB]
     else:
-        crossk_f = crossk_f.astype(cdtype)
-        crossv_f = crossv_f.astype(cdtype)
+        crossk_f = crossk_f.astype(crdtype)
+        crossv_f = crossv_f.astype(crdtype)
         cross_scale = None
 
     def cell_major(a):
@@ -925,7 +945,7 @@ def fused_greedy_decode(
     ]
     if quantized:
         in_specs += [const(a.shape) for a in scale_arrays]
-    if cache_q8:
+    if cross_q8:
         in_specs.append(
             pl.BlockSpec((1, rows, 2 * nb), lambda c: (0, c, 0),
                          memory_space=pltpu.VMEM)
@@ -948,6 +968,7 @@ def fused_greedy_decode(
         fast_segments=fast_segments,
         quantized=quantized,
         cache_q8=cache_q8,
+        cross_q8=cross_q8,
         probe=probe,
     )
 
@@ -961,8 +982,8 @@ def fused_greedy_decode(
         scratch_shapes=[
             pltpu.VMEM((nb, lp, rows, d), cdtype),
             pltpu.VMEM((nb, lp, rows, d), cdtype),
-            pltpu.VMEM((nb, tc, rows, dpad), cdtype),
-            pltpu.VMEM((nb, tc, rows, dpad), cdtype),
+            pltpu.VMEM((nb, tc, rows, dpad), crdtype),
+            pltpu.VMEM((nb, tc, rows, dpad), crdtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + ([pltpu.VMEM((lp, rows, 2 * nb), jnp.float32)] if cache_q8 else []),
@@ -978,7 +999,7 @@ def fused_greedy_decode(
         w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,
         crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
         *(scale_arrays if quantized else ()),
-        *((cross_scale,) if cache_q8 else ()),
+        *((cross_scale,) if cross_q8 else ()),
     )
 
     tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]

@@ -84,6 +84,7 @@ _SLOW_TESTS = {
     "test_recognize_long_form_stitches",        # 17 s
     "test_fused_multisegment_parity",           # 16 s
     "test_fused_int8_cache_token_parity",       # 7 s
+    "test_fused_mixed_cache_token_parity",      # 15 s
 }
 
 

@@ -188,6 +188,41 @@ def test_fused_int8_cache_token_parity():
         np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
 
 
+def test_fused_mixed_cache_token_parity():
+    """The "mixed" mode — bf16 (or f32) SELF caches with int8 CROSS caches
+    (fold-into-q per-row scales) — must keep token parity with the XLA f32
+    path on peaked models, zero-length rows included."""
+    for cache_dtype in (None, "bfloat16"):
+        for zero_row in (False, True):
+            model, params, enc_out, enc_mask = _setup(zero_row=zero_row)
+            kwargs = dict(max_length=12, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+            tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                         attention_impl="xla", **kwargs)
+            tok_f, len_f = _fused(model, params, enc_out, enc_mask, 12,
+                                  cache_dtype=cache_dtype,
+                                  cross_cache_dtype="int8")
+            np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+            np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_vmem_law_mixed_cross():
+    """Mixed modes (separate cross_bytes): int8 cross never picks FEWER rows
+    than the same self dtype with float cross, and at the 17.73 s tail the
+    bf16-self scratch (192 lanes pad to 256 in VMEM) is what pins rows at 16
+    — only the full-int8 mode reaches the 2×32-cell grouping there."""
+    from telugu_asr_tpu.ops.pallas.decode_fused import (
+        _pick_rows, _weight_bytes_estimate)
+
+    wb = _weight_bytes_estimate(6, 192, 237, 4)
+    for lp, tc in [(448, 224), (224, 128), (96, 224), (160, 64)]:
+        for cb in (1, 2, 4):
+            base = _pick_rows(64, 6, 192, lp, tc, cb, wb)
+            mixed = _pick_rows(64, 6, 192, lp, tc, cb, wb, cross_bytes=1)
+            assert mixed >= base, (lp, tc, cb, mixed, base)
+    assert _pick_rows(64, 6, 192, 448, 224, 2, wb, cross_bytes=1) == 16
+    assert _pick_rows(64, 6, 192, 448, 224, 1, wb) == 32
+
+
 def test_fused_int8_cache_xla_path_rejected():
     model, params, enc_out, enc_mask = _setup()
     with pytest.raises(ValueError, match="fused-kernel mode"):

@@ -22,6 +22,9 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--cache-dtype", default=None)
+    parser.add_argument("--cross-cache-dtype", default=None,
+                        help="pin the CROSS cache dtype separately (the "
+                             "mixed tail mode is bf16 self + int8 cross)")
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--seconds", type=float, default=5.46)
     parser.add_argument("--trials", type=int, default=5)
@@ -80,6 +83,7 @@ def main() -> None:
             dec_params, model.cfg.decoder, enc_out, enc_mask, emb, cls_w, cls_b,
             max_len, bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id, cache_dtype=args.cache_dtype,
+            cross_cache_dtype=args.cross_cache_dtype,
             precise_scores=not args.fast_scores,
             fast_segments=args.fast_segments,
             # probe_fused_costs.py sets the env per subprocess; forwarding it
@@ -105,6 +109,7 @@ def main() -> None:
                 "us_per_step": round(med * 1e6 / max_len, 2),
                 "int8": args.int8,
                 "cache_dtype": args.cache_dtype,
+                "cross_cache_dtype": args.cross_cache_dtype,
             }
         )
     )

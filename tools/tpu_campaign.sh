@@ -26,9 +26,10 @@ then echo "TPU TUNNEL DOWN — aborting campaign"; exit 1; fi
 run bench 1200 python bench.py
 run bench_int8 1200 python bench.py --cache-dtype int8
 
-# 2. tail bucket (17.73 s, cap 425): bf16 baseline vs the new int8 2x32 cells
+# 2. tail bucket (17.73 s, cap 425): bf16 4x16 baseline vs the 2x32 modes
 run tail_bf16 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype bfloat16
 run tail_int8 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype int8
+run tail_mixed 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype bfloat16 --cross-cache-dtype int8
 run tail_int8_fastseg 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype int8 --fast-segments
 
 # 3. flagship bucket: confirm int8 cross caches didn't regress the short cap
