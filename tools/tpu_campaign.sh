@@ -35,6 +35,9 @@ run tail_int8_fastseg 1200 python tools/bench_decode_fused.py --seconds 17.73 --
 # 3. flagship bucket: confirm int8 cross caches didn't regress the short cap
 run flag_f32 1200 python tools/bench_decode_fused.py
 run flag_int8 1200 python tools/bench_decode_fused.py --cache-dtype int8
+# bf16 rows=64 single cell is ~1 MB over the conservative budget law but may
+# fit physical VMEM — if it compiles AND matches, the flagship halves cells
+run flag_bf16_r64 1200 python tools/bench_decode_fused.py --cache-dtype bfloat16 --rows-per-cell 64
 
 # 4. on-chip parity of the int8 cache mode across the HPO space + tail shape
 run validate_int8 2400 python tools/validate_fused_configs.py --cache-dtype int8
