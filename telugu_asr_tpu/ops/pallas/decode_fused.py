@@ -99,6 +99,19 @@ def _ones_block(d: int, head_dim: int) -> np.ndarray:
     return m
 
 
+def _head_sum_matrix(d: int, head_dim: int) -> np.ndarray:
+    """[d, 128]: matmul by it = per-head sums DEFLATED to one lane per head."""
+    m = np.zeros((d, LANE_TILE), np.float32)
+    for h in range(d // head_dim):
+        m[h * head_dim:(h + 1) * head_dim, h] = 1.0
+    return m
+
+
+def _head_expand_matrix(d: int, head_dim: int) -> np.ndarray:
+    """[128, d]: matmul by it = per-head lanes re-broadcast from lane h."""
+    return _head_sum_matrix(d, head_dim).T.copy()
+
+
 def _freq_lanes(d: int, head_dim: int, inv_freq: np.ndarray,
                 rot_dim: int) -> np.ndarray:
     """Per-lane RoPE angular frequency: lane f → inv_freq[(f % head_dim)//2]
@@ -173,6 +186,7 @@ def _kernel(
     quantized: bool = False,
     cache_q8: bool = False,
     cross_q8: bool = False,
+    deflate: bool = False,
     probe: str = "none",
 ):
     from jax.experimental import pallas as pl
@@ -204,6 +218,14 @@ def _kernel(
     vself = rest.pop()
     kself = rest.pop()
     tok_ref = rest.pop()
+    if deflate:
+        # deflated-score head-sum/expand matrices (self + cross variants)
+        expb_c = rest.pop()
+        sumb_c = rest.pop()
+        expb = rest.pop()
+        sumb = rest.pop()
+    else:
+        sumb = expb = sumb_c = expb_c = None
     # cross_q8 can hold WITHOUT cache_q8 (the "mixed" mode: bf16 self caches
     # — no per-column rescale tax — with int8 cross, whose per-row scales
     # fold into q / the output for free)
@@ -239,6 +261,7 @@ def _kernel(
     scale = 1.0 / (head_dim ** 0.5)
     n_self_segs = lp // SEG
     n_cross_segs = tc // SEG
+    H128 = LANE_TILE  # deflated scores live on one lane per head (H ≤ 128)
     # fast_segments: the [SEG, R, D] per-segment vector chain (mask select,
     # exp, probs·V, reduction trees) runs bfloat16 — the online-softmax carry
     # (m/den/acc) and everything outside flash_segment stay float32.  Halves
@@ -343,6 +366,60 @@ def _kernel(
             jnp.zeros((1, r, w), jnp.float32),
         )
 
+    def flash_segment_deflated(q, kseg, vseg, valid, carry, sum_ref, exp_ref,
+                               kscale=None, vscale=None):
+        """flash_segment with DEFLATED scores: per-head sums land on one lane
+        per head ([SEG, R, 128] instead of the inflated [SEG, R, W]), so the
+        mask select, exp, running-max and the te tree run at 128 lanes —
+        about half the VPU work for W=192/256 — and one extra MXU matmul
+        against ``exp_ref`` re-broadcasts the probabilities across each
+        head's lanes just before the ·V product.  Numerically EXACT vs the
+        inflated path (same sums in the same order).  Carry: m/den
+        [1, R, 128], acc [1, R, W]."""
+        m, den, acc = carry
+        w = q.shape[-1]
+        g = (kseg * q[None].astype(vdt)).reshape(SEG * r, w)
+        if not precise_scores:
+            g = g.astype(jnp.bfloat16)
+        si = jnp.dot(g, sum_ref[:].astype(g.dtype),
+                     preferred_element_type=vdt).reshape(SEG, r, H128)
+        if kscale is not None:
+            si = si * kscale.astype(vdt)
+        si = jnp.where(valid, si, vdt(MASK_BIAS))
+        m2 = jnp.maximum(m, tree_max(si).astype(jnp.float32))
+        sc = jnp.exp(m - m2)
+        e = jnp.exp(si - m2.astype(vdt))
+        # the softmax DENOMINATOR accumulates unscaled exponentials — only
+        # the V-product side takes the int8-cache vscale
+        wseg = SEG
+        te = e
+        while wseg > 1:
+            wseg //= 2
+            te = te[:wseg] + te[wseg:2 * wseg]
+        ev128 = e * vscale.astype(vdt) if vscale is not None else e
+        e_infl = jnp.dot(
+            ev128.reshape(SEG * r, H128), exp_ref[:].astype(e.dtype),
+            preferred_element_type=vdt,
+        ).reshape(SEG, r, w)
+        tv = e_infl * vseg
+        wseg = SEG
+        while wseg > 1:
+            wseg //= 2
+            tv = tv[:wseg] + tv[wseg:2 * wseg]
+        # each head carries its OWN running max, so acc's rescale factor
+        # must be inflated per lane too (tiny [R, 128] @ [128, W] matmul)
+        sc_infl = jnp.dot(sc.reshape(r, H128), exp_ref[:],
+                          preferred_element_type=jnp.float32)[None]
+        return (m2, den * sc + te.astype(jnp.float32),
+                acc * sc_infl + tv.astype(jnp.float32))
+
+    def flash_init_deflated(w=d):
+        return (
+            jnp.full((1, r, H128), MASK_BIAS, jnp.float32),
+            jnp.zeros((1, r, H128), jnp.float32),
+            jnp.zeros((1, r, w), jnp.float32),
+        )
+
     col3 = jax.lax.broadcasted_iota(jnp.int32, (SEG, r, 1), 0)
 
     # ---- per-cell init -----------------------------------------------------
@@ -396,7 +473,7 @@ def _kernel(
                 kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
                 vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
 
-            carry_a = flash_init()
+            carry_a = flash_init_deflated() if deflate else flash_init()
             for si_ in range(n_self_segs):
                 def seg_fn(m_, d_, a_, si_=si_, b=b, q=q):
                     kseg = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
@@ -409,6 +486,10 @@ def _kernel(
                     if cache_q8:
                         ksc = scale_col(si_ * SEG, b)
                         vsc = scale_col(si_ * SEG, n_blocks + b)
+                    if deflate:
+                        return flash_segment_deflated(
+                            q, kseg, vseg, valid, (m_, d_, a_), sumb, expb,
+                            kscale=ksc, vscale=vsc)
                     return flash_segment(q, kseg, vseg, valid, (m_, d_, a_),
                                          kscale=ksc, vscale=vsc)
 
@@ -417,7 +498,11 @@ def _kernel(
                     lambda m_, d_, a_: (m_, d_, a_), *carry_a,
                 )
             _, den, acc = carry_a
-            attn = acc[0] / den[0]
+            if deflate:
+                den_w = jnp.dot(den[0], expb[:], preferred_element_type=jnp.float32)
+                attn = acc[0] / den_w
+            else:
+                attn = acc[0] / den[0]
             x = layer_norm(x + mmq(attn, wo, wo_s, b), ln1g[b], ln1b[b])
 
             # -- cross-attention over the encoder (fully static, Dp wide:
@@ -430,15 +515,23 @@ def _kernel(
                 # per-(block, row) int8 cross-K scale, folded into the query
                 # (constant across time columns, so it commutes with q·k)
                 qc = qc * cross_scale[0, :, b:b + 1]
-            carry_c = flash_init(dp)
+            carry_c = flash_init_deflated(dp) if deflate else flash_init(dp)
             for si_ in range(n_cross_segs):
                 kseg = crossk_v[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
                 vseg = crossv_v[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
                 valid = cross_valid[si_ * SEG:(si_ + 1) * SEG] > 0
-                carry_c = flash_segment(qc, kseg, vseg, valid, carry_c,
-                                        ones_ref=onesb_c)
+                if deflate:
+                    carry_c = flash_segment_deflated(
+                        qc, kseg, vseg, valid, carry_c, sumb_c, expb_c)
+                else:
+                    carry_c = flash_segment(qc, kseg, vseg, valid, carry_c,
+                                            ones_ref=onesb_c)
             _, den, acc = carry_c
-            cross = acc[0] / den[0]
+            if deflate:
+                den_w = jnp.dot(den[0], expb_c[:], preferred_element_type=jnp.float32)
+                cross = acc[0] / den_w
+            else:
+                cross = acc[0] / den[0]
             if cross_q8:
                 # per-(block, row) int8 cross-V scale: Σ p_t (s·v_t) = s·Σ —
                 # folds into the output, zero per-segment work
@@ -615,8 +708,8 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
     static_argnames=(
         "cfg", "max_length", "bos_id", "eos_id", "pad_id",
         "parity_unmasked_cross", "cache_dtype", "cross_cache_dtype",
-        "rows_per_cell", "precise_scores", "fast_segments", "probe",
-        "interpret",
+        "rows_per_cell", "precise_scores", "fast_segments", "deflate_scores",
+        "probe", "interpret",
     ),
 )
 def fused_greedy_decode(
@@ -638,6 +731,7 @@ def fused_greedy_decode(
     rows_per_cell: Optional[int] = None,
     precise_scores: bool = True,
     fast_segments: bool = False,
+    deflate_scores: bool = False,
     probe: str = "none",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -825,6 +919,16 @@ def fused_greedy_decode(
     evenm_c = jnp.asarray(_even_mask(dpad))
     onesb_c = jnp.asarray(_ones_block(dpad, dh))
     k_perm = None if rot_dim == dh else _rope_inplace_perm(d, dh, rot_dim)
+    if deflate_scores:
+        assert probe == "none", "probes are inflated-path only"
+        deflate_mats = [
+            jnp.asarray(_head_sum_matrix(d, dh)),
+            jnp.asarray(_head_expand_matrix(d, dh)),
+            jnp.asarray(_head_sum_matrix(dpad, dh)),
+            jnp.asarray(_head_expand_matrix(dpad, dh)),
+        ]
+    else:
+        deflate_mats = []
 
     # ---- cross caches (time-major [NB, Tc, B, D]) --------------------------
     # Built once per batch in XLA; quantized key/value kernels are
@@ -950,6 +1054,7 @@ def fused_greedy_decode(
             pl.BlockSpec((1, rows, 2 * nb), lambda c: (0, c, 0),
                          memory_space=pltpu.VMEM)
         )
+    in_specs += [const(a.shape) for a in deflate_mats]
 
     # ``probe`` is the development-only ablation hook (tools/
     # probe_fused_costs.py) — an explicit STATIC argument so each probe mode
@@ -969,6 +1074,7 @@ def fused_greedy_decode(
         quantized=quantized,
         cache_q8=cache_q8,
         cross_q8=cross_q8,
+        deflate=deflate_scores,
         probe=probe,
     )
 
@@ -1000,6 +1106,7 @@ def fused_greedy_decode(
         crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
         *(scale_arrays if quantized else ()),
         *((cross_scale,) if cross_q8 else ()),
+        *deflate_mats,
     )
 
     tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]

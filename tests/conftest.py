@@ -85,6 +85,8 @@ _SLOW_TESTS = {
     "test_fused_multisegment_parity",           # 16 s
     "test_fused_int8_cache_token_parity",       # 7 s
     "test_fused_mixed_cache_token_parity",      # 15 s
+    "test_fused_deflated_scores_token_parity",  # 20 s
+    "test_fused_deflated_multisegment_parity",  # 16 s
 }
 
 

@@ -188,6 +188,44 @@ def test_fused_int8_cache_token_parity():
         np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
 
 
+def test_fused_deflated_scores_token_parity():
+    """deflate_scores computes the SAME per-head sums on one lane per head
+    (mask/exp/max/te at 128 lanes, MXU re-broadcast before ·V) — numerically
+    exact vs the inflated path, so tokens must match the XLA path exactly,
+    including zero-length rows, int8 caches and multi-segment shapes."""
+    for zero_row in (False, True):
+        model, params, enc_out, enc_mask = _setup(zero_row=zero_row)
+        kwargs = dict(max_length=12, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+        tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                     attention_impl="xla", **kwargs)
+        for cache_dtype in (None, "int8"):
+            tok_f, len_f = _fused(model, params, enc_out, enc_mask, 12,
+                                  cache_dtype=cache_dtype,
+                                  deflate_scores=True)
+            np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+            np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_deflated_multisegment_parity():
+    """Deflated scores across 2+ segments: the per-head carry rescaling
+    (sc inflation matmul) must keep exact parity."""
+    cfg = tiny_config()
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["kernel"] = params["classifier"]["kernel"] * 50.0
+    params["classifier"]["bias"] = params["classifier"]["bias"] * 50.0
+    feats = jax.random.normal(jax.random.PRNGKey(3), (4, 400, 8))
+    lengths = jnp.asarray([400, 200, 350, 80])
+    enc_out, enc_mask = model.encode(params, feats, lengths)
+    kwargs = dict(max_length=40, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+    tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                 attention_impl="xla", **kwargs)
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 40,
+                          deflate_scores=True)
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
 def test_fused_mixed_cache_token_parity():
     """The "mixed" mode — bf16 (or f32) SELF caches with int8 CROSS caches
     (fold-into-q per-row scales) — must keep token parity with the XLA f32

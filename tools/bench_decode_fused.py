@@ -33,6 +33,9 @@ def main() -> None:
                         help="bf16 q·k head-sum (precise_scores=False)")
     parser.add_argument("--fast-segments", action="store_true",
                         help="bf16 per-segment vector math (mask/exp/trees)")
+    parser.add_argument("--deflate-scores", action="store_true",
+                        help="per-head scores on one lane each (exact; "
+                             "mask/exp/max/sum at 128 lanes + MXU re-expand)")
     parser.add_argument("--rows-per-cell", type=int, default=None,
                         help="pin the batch-row group size (default: auto)")
     args = parser.parse_args()
@@ -86,6 +89,7 @@ def main() -> None:
             cross_cache_dtype=args.cross_cache_dtype,
             precise_scores=not args.fast_scores,
             fast_segments=args.fast_segments,
+            deflate_scores=args.deflate_scores,
             # probe_fused_costs.py sets the env per subprocess; forwarding it
             # as the explicit static arg keys the jit cache per probe mode
             probe=os.environ.get("TELUGU_FUSED_PROBE", "none"),

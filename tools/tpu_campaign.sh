@@ -38,6 +38,11 @@ run flag_int8 1200 python tools/bench_decode_fused.py --cache-dtype int8
 # bf16 rows=64 single cell is ~1 MB over the conservative budget law but may
 # fit physical VMEM — if it compiles AND matches, the flagship halves cells
 run flag_bf16_r64 1200 python tools/bench_decode_fused.py --cache-dtype bfloat16 --rows-per-cell 64
+# deflated scores (EXACT): mask/exp/max/te at 128 lanes + MXU re-expand —
+# the candidate lossless per-segment win; A/B at flagship and tail
+run flag_deflate 1200 python tools/bench_decode_fused.py --deflate-scores
+run tail_deflate 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype bfloat16 --deflate-scores
+run tail_int8_deflate 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype int8 --deflate-scores
 
 # 4. on-chip parity of the int8 cache mode across the HPO space + tail shape
 run validate_int8 2400 python tools/validate_fused_configs.py --cache-dtype int8
