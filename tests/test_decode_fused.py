@@ -121,6 +121,22 @@ def test_fused_fast_segments_high_agreement():
     assert agree / total >= 0.85, f"token agreement {agree}/{total}"
 
 
+def test_fused_deflate_with_fast_segments_runs():
+    """deflate_scores composes with the lossy bf16 fast_segments mode: runs,
+    respects shape/length laws, and stays in the bf16 error class (high
+    token agreement on a peaked model)."""
+    model, params, enc_out, enc_mask = _setup()
+    tok_x, _ = greedy_decode(model, params, enc_out, enc_mask, max_length=10,
+                             bos_id=BOS, eos_id=EOS, pad_id=PAD,
+                             attention_impl="xla")
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 10,
+                          deflate_scores=True, fast_segments=True)
+    assert tok_f.shape == tok_x.shape
+    assert np.all(np.asarray(len_f) >= 1)
+    agree = np.mean(np.asarray(tok_x) == np.asarray(tok_f))
+    assert agree >= 0.8, agree
+
+
 def test_fused_int8_token_parity():
     """An int8-quantized tree served VMEM-resident by the kernel must decode
     the same tokens as the XLA path over the dequantized weights (both paths
