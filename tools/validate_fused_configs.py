@@ -95,6 +95,7 @@ def main() -> None:
             fits = fused_fits(
                 cfg.decoder, args.batch, eo.shape[1], cap,
                 vocab=cfg.vocab_size, quantized=args.int8,
+                cache_dtype=args.cache_dtype,
             )
             if not fits:
                 print(f"{tag}: fused_fits=False → auto falls back to XLA (ok)")
