@@ -187,6 +187,7 @@ def _kernel(
     cache_q8: bool = False,
     cross_q8: bool = False,
     deflate: bool = False,
+    combine_kv: bool = False,
     probe: str = "none",
 ):
     from jax.experimental import pallas as pl
@@ -218,8 +219,22 @@ def _kernel(
     vself = rest.pop()
     kself = rest.pop()
     tok_ref = rest.pop()
+    if combine_kv:
+        # combined K|V self cache ([.., 2D] lanes — kills the D→128-multiple
+        # lane-padding waste): KV-path RoPE lanes (zero frequency on V lanes
+        # = exact pass-through) and the division-expand matrix that
+        # broadcasts the deflated denominator over BOTH halves (the
+        # e-expand matrix maps heads to V lanes only; dividing the zero K
+        # lanes by zero would NaN-poison the wo matmul)
+        expboth = rest.pop()
+        evenkv = rest.pop()
+        freqkv = rest.pop()
+    else:
+        expboth = evenkv = freqkv = None
     if deflate:
-        # deflated-score head-sum/expand matrices (self + cross variants)
+        # deflated-score head-sum/expand matrices (self + cross variants);
+        # under combine_kv the self pair is [2D, 128] / [128, 2D] (scores
+        # sum K lanes only; probabilities expand to V lanes only)
         expb_c = rest.pop()
         sumb_c = rest.pop()
         expb = rest.pop()
@@ -317,6 +332,25 @@ def _kernel(
     def scale_col(lo, lane):
         """[SEG, R, 1] per-(column, row) scales from the kvscale scratch."""
         return kvscale[lo:lo + SEG, :, lane:lane + 1]
+
+    def q8_store_kv(b, s, kv):
+        """Combined-layout int8 store: one [R, 2D] column, separate per-row
+        symmetric scales for the K and V halves (selected with lane masks —
+        a 2D-lane slice at offset D would not be tile-aligned)."""
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (1, kv.shape[-1]), 1)
+        kmask = (lanes < d).astype(jnp.float32)
+        vmask = 1.0 - kmask
+        ksc = jnp.maximum(
+            jnp.max(jnp.abs(kv) * kmask, axis=-1, keepdims=True) / 127.0, 1e-12
+        )
+        vsc = jnp.maximum(
+            jnp.max(jnp.abs(kv) * vmask, axis=-1, keepdims=True) / 127.0, 1e-12
+        )
+        sc_lanes = kmask * ksc + vmask * vsc                  # [R, 2D]
+        q = jnp.floor(kv / sc_lanes + 0.5).astype(jnp.int8)
+        kself[b, pl.ds(s, 1)] = q[None]
+        kvscale[pl.ds(s, 1), :, b:b + 1] = ksc[None]
+        kvscale[pl.ds(s, 1), :, n_blocks + b:n_blocks + b + 1] = vsc[None]
 
     def flash_segment(q, kseg, vseg, valid, carry, ones_ref=onesb,
                       kscale=None, vscale=None):
@@ -459,25 +493,49 @@ def _kernel(
         ang_c = s.astype(jnp.float32) * freq_c[:]
         cos_c = jnp.cos(ang_c)
         sin_c = jnp.sin(ang_c)
+        if combine_kv:
+            ang_kv = s.astype(jnp.float32) * freqkv[:]
+            cos_kv = jnp.cos(ang_kv)
+            sin_kv = jnp.sin(ang_kv)
         cur_pad = (cur == pad_id)                           # [R, 1]
 
         for b in range(n_blocks):
             # -- masked self-attention over the cache ------------------------
-            q = rope(mmq(x, wq, wq_s, b), cos, sin, evenm) * scale
-            k = rope(mmq(x, wk, wk_s, b), cos, sin, evenm)
-            v = mmq(x, wv, wv_s, b)
-            if cache_q8:
-                q8_store(kself, b, b, s, k)
-                q8_store(vself, b, n_blocks + b, s, v)
+            if combine_kv:
+                # q arrives 2D-wide for free (wq zero-padded on output
+                # channels host-side); RoPE's zero V-half frequencies pass
+                # the zero lanes through exactly
+                q = rope(mmq(x, wq, wq_s, b), cos_kv, sin_kv, evenkv) * scale
+                # ONE [D, 2D] matmul produces K|V; RoPE rotates the K half in
+                # place and passes the V half through (zero frequencies)
+                kv = rope(mmq(x, wk, wk_s, b),  # wk slot holds wkv
+                          cos_kv, sin_kv, evenkv)
+                if cache_q8:
+                    q8_store_kv(b, s, kv)
+                else:
+                    kself[b, pl.ds(s, 1)] = kv[None].astype(kself.dtype)
             else:
-                kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
-                vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
+                q = rope(mmq(x, wq, wq_s, b), cos, sin, evenm) * scale
+                k = rope(mmq(x, wk, wk_s, b), cos, sin, evenm)
+                v = mmq(x, wv, wv_s, b)
+                if cache_q8:
+                    q8_store(kself, b, b, s, k)
+                    q8_store(vself, b, n_blocks + b, s, v)
+                else:
+                    kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
+                    vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
 
-            carry_a = flash_init_deflated() if deflate else flash_init()
+            if combine_kv:
+                carry_a = flash_init_deflated(2 * d)
+            elif deflate:
+                carry_a = flash_init_deflated()
+            else:
+                carry_a = flash_init()
             for si_ in range(n_self_segs):
                 def seg_fn(m_, d_, a_, si_=si_, b=b, q=q):
                     kseg = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
-                    vseg = vself[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt)
+                    vseg = (kseg if combine_kv else
+                            vself[b, si_ * SEG:(si_ + 1) * SEG].astype(vdt))
                     tokc = tok_ref[si_ * SEG:(si_ + 1) * SEG]
                     live = (col3 + si_ * SEG) <= s
                     # PAD-query quirk: a PAD current token attends everything
@@ -499,10 +557,14 @@ def _kernel(
                 )
             _, den, acc = carry_a
             if deflate:
-                den_w = jnp.dot(den[0], expb[:], preferred_element_type=jnp.float32)
+                div_ref = expboth if combine_kv else expb
+                den_w = jnp.dot(den[0], div_ref[:],
+                                preferred_element_type=jnp.float32)
                 attn = acc[0] / den_w
             else:
                 attn = acc[0] / den[0]
+            # combined layout: wo is zero-row-padded to [2D, D], so the K
+            # lanes of attn (exactly 0) drop out inside the projection
             x = layer_norm(x + mmq(attn, wo, wo_s, b), ln1g[b], ln1b[b])
 
             # -- cross-attention over the encoder (fully static, Dp wide:
@@ -594,7 +656,8 @@ def fused_supported(cfg) -> bool:
 
 def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
                cache_bytes: int, weight_bytes: int,
-               cross_bytes: Optional[int] = None) -> int:
+               cross_bytes: Optional[int] = None,
+               combined: bool = False) -> int:
     """Largest multiple-of-8 divisor of batch whose cell fits the VMEM budget
     (Mosaic requires blocked sublane dims divisible by 8); 0 if even the
     8-row cell does not fit (callers fall back to the XLA path).
@@ -628,8 +691,12 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
         # 128.36 MB used (369 KB over capacity), so the self-q8 law charges
         # 22×.  Int8 CROSS caches add nothing per segment (fold-into-q).
         temps = (22 if cache_bytes == 1 else 12) * SEG * rows * dp * 4
+        # combined K|V layout: ONE [.., 2d] array (2d is a 128 multiple for
+        # every HPO d_model, so no lane padding) instead of two d→dp-padded
+        # arrays — 2·dp vs round_up(2d) lanes per column (25% less at d=192)
+        self_lanes = _round_up(2 * d, LANE_TILE) if combined else 2 * dp
         cell = (
-            2 * n_blocks * lp * tile_rows(rows, cache_bytes) * dp * cache_bytes
+            n_blocks * lp * tile_rows(rows, cache_bytes) * self_lanes * cache_bytes
             + 2 * n_blocks * tc * tile_rows(rows, cross_bytes) * dp * cross_bytes
             + temps
         )
@@ -709,7 +776,7 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
         "cfg", "max_length", "bos_id", "eos_id", "pad_id",
         "parity_unmasked_cross", "cache_dtype", "cross_cache_dtype",
         "rows_per_cell", "precise_scores", "fast_segments", "deflate_scores",
-        "probe", "interpret",
+        "combine_kv", "probe", "interpret",
     ),
 )
 def fused_greedy_decode(
@@ -732,6 +799,7 @@ def fused_greedy_decode(
     precise_scores: bool = True,
     fast_segments: bool = False,
     deflate_scores: bool = False,
+    combine_kv: bool = False,
     probe: str = "none",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -861,6 +929,21 @@ def fused_greedy_decode(
         wco = stack(_MAT_PATHS[5])
         w1 = stack(_MAT_PATHS[6])     # [NB, D, HID]
         w2r = stack(_MAT_PATHS[7])    # [NB, HID//2, D]
+    if combine_kv:
+        assert deflate_scores, "combine_kv requires deflate_scores"
+        # one [D, 2D] K|V projection (the wk slot carries it; the wv slot
+        # becomes a never-read dummy); wq gains zero output channels so q
+        # arrives 2D-wide for free; wo is zero-row-padded to [2D, D] so the
+        # K lanes of the combined attention output drop out in the
+        # projection matmul
+        wq = jnp.pad(wq, [(0, 0), (0, 0), (0, d)])
+        wk = jnp.concatenate([wk, wv], axis=-1)
+        wo = jnp.pad(wo, [(0, 0), (d, 0), (0, 0)])
+        wv = jnp.zeros((nb, 1, 8), wk.dtype)
+        if quantized:
+            wq_s = jnp.pad(wq_s, [(0, 0), (0, 0), (0, d)], constant_values=1.0)
+            wk_s = jnp.concatenate([wk_s, wv_s], axis=-1)
+            wv_s = jnp.zeros((nb, 1, 8), jnp.float32)
     ln1g = stack(["masked_mhsa", "ln", "gamma"])[:, None, :]
     ln1b = stack(["masked_mhsa", "ln", "beta"])[:, None, :]
     ln2g = stack(["cross_attention", "ln", "gamma"])[:, None, :]
@@ -921,14 +1004,37 @@ def fused_greedy_decode(
     k_perm = None if rot_dim == dh else _rope_inplace_perm(d, dh, rot_dim)
     if deflate_scores:
         assert probe == "none", "probes are inflated-path only"
+        if combine_kv:
+            # scores sum the K half only; probabilities expand to the V half
+            sum_self = np.vstack(
+                [_head_sum_matrix(d, dh), np.zeros((d, LANE_TILE), np.float32)]
+            )
+            exp_self = np.hstack(
+                [np.zeros((LANE_TILE, d), np.float32), _head_expand_matrix(d, dh)]
+            )
+        else:
+            sum_self = _head_sum_matrix(d, dh)
+            exp_self = _head_expand_matrix(d, dh)
         deflate_mats = [
-            jnp.asarray(_head_sum_matrix(d, dh)),
-            jnp.asarray(_head_expand_matrix(d, dh)),
+            jnp.asarray(sum_self),
+            jnp.asarray(exp_self),
             jnp.asarray(_head_sum_matrix(dpad, dh)),
             jnp.asarray(_head_expand_matrix(dpad, dh)),
         ]
     else:
         deflate_mats = []
+    if combine_kv:
+        combine_mats = [
+            # KV-path RoPE lanes: zero frequency on the V half = exact
+            # pass-through; evenm arbitrary there (sin = 0)
+            jnp.asarray(np.pad(freq_np, [(0, 0), (0, d)])),
+            jnp.asarray(np.pad(_even_mask(d), [(0, 0), (0, d)])),
+            # division-expand: the deflated denominator broadcasts over BOTH
+            # halves (zero K-lane denominators would NaN-poison 0/0)
+            jnp.asarray(np.hstack([_head_expand_matrix(d, dh)] * 2)),
+        ]
+    else:
+        combine_mats = []
 
     # ---- cross caches (time-major [NB, Tc, B, D]) --------------------------
     # Built once per batch in XLA; quantized key/value kernels are
@@ -979,7 +1085,7 @@ def fused_greedy_decode(
     )
     rows = rows_per_cell or _pick_rows(
         batch, nb, d, lp, tc, cdtype.itemsize, weight_bytes,
-        cross_bytes=crdtype.itemsize,
+        cross_bytes=crdtype.itemsize, combined=combine_kv,
     )
     if rows == 0:
         raise ValueError(
@@ -1055,6 +1161,7 @@ def fused_greedy_decode(
                          memory_space=pltpu.VMEM)
         )
     in_specs += [const(a.shape) for a in deflate_mats]
+    in_specs += [const(a.shape) for a in combine_mats]
 
     # ``probe`` is the development-only ablation hook (tools/
     # probe_fused_costs.py) — an explicit STATIC argument so each probe mode
@@ -1075,6 +1182,7 @@ def fused_greedy_decode(
         cache_q8=cache_q8,
         cross_q8=cross_q8,
         deflate=deflate_scores,
+        combine_kv=combine_kv,
         probe=probe,
     )
 
@@ -1086,8 +1194,11 @@ def fused_greedy_decode(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((lp, batch, 1), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((nb, lp, rows, d), cdtype),
-            pltpu.VMEM((nb, lp, rows, d), cdtype),
+            pltpu.VMEM((nb, lp, rows, 2 * d if combine_kv else d), cdtype),
+            # combined layout: K|V live in ONE scratch (the second is a
+            # never-read dummy kept for argument arity)
+            pltpu.VMEM((1, 1, 8, LANE_TILE) if combine_kv else (nb, lp, rows, d),
+                       cdtype),
             pltpu.VMEM((nb, tc, rows, dpad), crdtype),
             pltpu.VMEM((nb, tc, rows, dpad), crdtype),
             pltpu.SemaphoreType.DMA,
@@ -1107,6 +1218,7 @@ def fused_greedy_decode(
         *(scale_arrays if quantized else ()),
         *((cross_scale,) if cross_q8 else ()),
         *deflate_mats,
+        *combine_mats,
     )
 
     tokens = tokens3[:, :true_batch, 0].T             # [B, Lp]

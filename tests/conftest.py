@@ -87,6 +87,9 @@ _SLOW_TESTS = {
     "test_fused_mixed_cache_token_parity",      # 15 s
     "test_fused_deflated_scores_token_parity",  # 20 s
     "test_fused_deflated_multisegment_parity",  # 16 s
+    "test_fused_combined_kv_token_parity",      # 40 s
+    "test_fused_combined_kv_multisegment_parity",  # 16 s
+    "test_fused_deflate_with_fast_segments_runs",  # 8 s
 }
 
 

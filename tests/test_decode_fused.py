@@ -121,6 +121,71 @@ def test_fused_fast_segments_high_agreement():
     assert agree / total >= 0.85, f"token agreement {agree}/{total}"
 
 
+def test_fused_combined_kv_token_parity():
+    """combine_kv stores K|V in ONE [.., 2D] self scratch (no 192→256 lane
+    padding): scores sum the K half, probabilities expand onto the V half,
+    zero-padded wq/wo absorb the widening — numerically exact, so token
+    parity with XLA must hold in every cache mode, zero-length rows and
+    multi-segment shapes included."""
+    for zero_row in (False, True):
+        model, params, enc_out, enc_mask = _setup(zero_row=zero_row)
+        kwargs = dict(max_length=12, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+        tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                     attention_impl="xla", **kwargs)
+        # f32 caches: exact parity with the XLA path
+        tok_f, len_f = _fused(model, params, enc_out, enc_mask, 12,
+                              deflate_scores=True, combine_kv=True)
+        np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+        np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+        # every cache mode: the combined layout is bit-identical to the
+        # separate-array layout (same values, same rounding, per-half int8
+        # scales equal the separate-array scales) — compare within-mode
+        # (bf16 caches are lossy vs XLA by design)
+        for kw in (dict(cache_dtype="bfloat16"), dict(cache_dtype="int8"),
+                   dict(cache_dtype="bfloat16", cross_cache_dtype="int8")):
+            tok_a, _ = _fused(model, params, enc_out, enc_mask, 12,
+                              deflate_scores=True, **kw)
+            tok_b, _ = _fused(model, params, enc_out, enc_mask, 12,
+                              deflate_scores=True, combine_kv=True, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(tok_a), np.asarray(tok_b), err_msg=str(kw))
+
+
+def test_fused_combined_kv_multisegment_parity():
+    cfg = tiny_config()
+    model = ASRModel(cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    params["classifier"]["kernel"] = params["classifier"]["kernel"] * 50.0
+    params["classifier"]["bias"] = params["classifier"]["bias"] * 50.0
+    feats = jax.random.normal(jax.random.PRNGKey(3), (4, 400, 8))
+    lengths = jnp.asarray([400, 200, 350, 80])
+    enc_out, enc_mask = model.encode(params, feats, lengths)
+    kwargs = dict(max_length=40, bos_id=BOS, eos_id=EOS, pad_id=PAD)
+    tok_x, len_x = greedy_decode(model, params, enc_out, enc_mask,
+                                 attention_impl="xla", **kwargs)
+    tok_f, len_f = _fused(model, params, enc_out, enc_mask, 40,
+                          deflate_scores=True, combine_kv=True,
+                          cache_dtype="int8")
+    np.testing.assert_array_equal(np.asarray(tok_x), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(len_x), np.asarray(len_f))
+
+
+def test_fused_vmem_law_combined():
+    """Combined K|V (384 lanes at d=192, no padding) by the budget law:
+    bf16 reaches the single-cell flagship (rows=64) and, with int8 cross,
+    32-row tail cells — both beyond the separate-array layout."""
+    from telugu_asr_tpu.ops.pallas.decode_fused import (
+        _pick_rows, _weight_bytes_estimate)
+
+    wb = _weight_bytes_estimate(6, 192, 237, 4)
+    # flagship bucket: separate bf16 = 32 rows, combined bf16 = 64 (1 cell)
+    assert _pick_rows(64, 6, 192, 160, 64, 2, wb) == 32
+    assert _pick_rows(64, 6, 192, 160, 64, 2, wb, combined=True) == 64
+    # tail bucket: combined bf16 + int8 cross reaches 32 rows (2 cells)
+    assert _pick_rows(64, 6, 192, 448, 224, 2, wb, cross_bytes=1,
+                      combined=True) == 32
+
+
 def test_fused_deflate_with_fast_segments_runs():
     """deflate_scores composes with the lossy bf16 fast_segments mode: runs,
     respects shape/length laws, and stays in the bf16 error class (high

@@ -36,6 +36,10 @@ def main() -> None:
     parser.add_argument("--deflate-scores", action="store_true",
                         help="per-head scores on one lane each (exact; "
                              "mask/exp/max/sum at 128 lanes + MXU re-expand)")
+    parser.add_argument("--combine-kv", action="store_true",
+                        help="ONE [.., 2D] K|V self scratch (exact; no "
+                             "192->256 lane padding; implies fused wkv "
+                             "matmul; requires --deflate-scores)")
     parser.add_argument("--rows-per-cell", type=int, default=None,
                         help="pin the batch-row group size (default: auto)")
     args = parser.parse_args()
@@ -90,6 +94,7 @@ def main() -> None:
             precise_scores=not args.fast_scores,
             fast_segments=args.fast_segments,
             deflate_scores=args.deflate_scores,
+            combine_kv=args.combine_kv,
             # probe_fused_costs.py sets the env per subprocess; forwarding it
             # as the explicit static arg keys the jit cache per probe mode
             probe=os.environ.get("TELUGU_FUSED_PROBE", "none"),

@@ -43,6 +43,9 @@ run flag_bf16_r64 1200 python tools/bench_decode_fused.py --cache-dtype bfloat16
 run flag_deflate 1200 python tools/bench_decode_fused.py --deflate-scores
 run tail_deflate 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype bfloat16 --deflate-scores
 run tail_int8_deflate 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype int8 --deflate-scores
+# combined K|V (EXACT): single-cell bf16 flagship + 2x32 bf16(+int8 cross) tail
+run flag_kv_bf16 1200 python tools/bench_decode_fused.py --cache-dtype bfloat16 --deflate-scores --combine-kv
+run tail_kv_mixed 1200 python tools/bench_decode_fused.py --seconds 17.73 --cache-dtype bfloat16 --cross-cache-dtype int8 --deflate-scores --combine-kv
 
 # 4. on-chip parity of the int8 cache mode across the HPO space + tail shape
 run validate_int8 2400 python tools/validate_fused_configs.py --cache-dtype int8
