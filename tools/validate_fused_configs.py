@@ -3,12 +3,20 @@
 
 The VMEM budget law in ``_pick_rows`` was calibrated on the flagship
 (d_model 192); this tool compiles and runs the REAL Mosaic kernel for every
-fused-eligible HPO config (d_model ∈ {192, 256, 320} × head_dim 32 — 48/64
-are structurally rejected by ``fused_supported``) and asserts token parity
-with the XLA path on-chip, plus the ``fused_fits`` fallback law for shapes
-that must not attempt the kernel.
+fused-eligible HPO config (d_model ∈ {192, 256, 320} × head_dim ∈ {32, 64}
+— 48 is structurally rejected by ``fused_supported``; 64 exercises the
+in-place partial-RoPE path) and asserts token parity with the XLA path
+on-chip, plus the ``fused_fits`` fallback law for shapes that must not
+attempt the kernel.
+
+``--exact-modes`` additionally validates the EXACT opt-in kernel modes
+(--deflate-scores, --combine-kv, and the bf16-self + int8-cross mixed
+cache) for each eligible config — these are measured net losses at the
+flagship shapes (README) but must stay correct across the HPO grid so the
+opt-ins can't crash or diverge on a future config where they win.
 
 Usage: python tools/validate_fused_configs.py [--batch 16] [--seconds 5.46]
+           [--int8] [--cache-dtype bfloat16|int8] [--exact-modes]
 """
 from __future__ import annotations
 
@@ -28,6 +36,10 @@ def main() -> None:
                         help="pin the KV-cache mode (int8 exercises the "
                              "cell-major int8 cross caches; try with "
                              "--seconds 17.73 for the 32-row tail cells)")
+    parser.add_argument("--exact-modes", action="store_true",
+                        help="also validate deflate-scores, combine-kv and "
+                             "the bf16-self + int8-cross mixed cache per "
+                             "config (exact opt-ins; ~3 extra compiles each)")
     args = parser.parse_args()
 
     sys.path.insert(0, ".")
@@ -124,6 +136,38 @@ def main() -> None:
                 f"{'OK' if ok else 'FAIL'} (cap={cap}, compile+run {compile_s:.1f}s)"
             )
             failures += 0 if ok else 1
+            if not args.exact_modes:
+                continue
+            from telugu_asr_tpu.ops.pallas.decode_fused import fused_greedy_decode
+
+            exact_modes = [
+                ("deflate", dict(deflate_scores=True)),
+                ("deflate+combine-kv",
+                 dict(deflate_scores=True, combine_kv=True)),
+                ("bf16-self+int8-cross",
+                 dict(cache_dtype="bfloat16", cross_cache_dtype="int8")),
+            ]
+            for mname, mkw in exact_modes:
+                t0 = time.perf_counter()
+                tok_m, _ = jax.block_until_ready(
+                    fused_greedy_decode(
+                        params["decoder"], cfg.decoder, eo, em,
+                        params["text_embedding"]["table"],
+                        params["classifier"]["kernel"],
+                        params["classifier"]["bias"],
+                        cap, bos_id=tokenizer.bos_token_id,
+                        eos_id=tokenizer.eos_token_id,
+                        pad_id=tokenizer.pad_token_id, **mkw,
+                    )
+                )
+                m_s = time.perf_counter() - t0
+                m_agree = float((np.asarray(tok_m) == tx).mean())
+                m_ok = m_agree >= 0.995
+                print(
+                    f"{tag} [{mname}]: token_agreement={m_agree:.2%} "
+                    f"{'OK' if m_ok else 'FAIL'} (compile+run {m_s:.1f}s)"
+                )
+                failures += 0 if m_ok else 1
     if failures:
         sys.exit(f"{failures} config(s) FAILED token parity")
     print("all fused-eligible configs validated")
