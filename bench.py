@@ -20,6 +20,9 @@ Extra modes (not run by the driver):
 ``--family conformer --mode train``  RNN-T train step ms (featurize → fwd →
                                    RNN-T loss → bwd → Adam, batch 8 × 5.46 s)
 ``--family moonshine --mode train``  CE train step ms (batch 64 × 5.46 s)
+``--mode beam [--beam K] [--cache-dtype bfloat16]``  beam-search RTFx
+                                   (XLA while_loop path, beams folded into
+                                   the batch)
 """
 from __future__ import annotations
 
@@ -321,11 +324,79 @@ def bench_moonshine_decode(cache_dtype=None) -> dict:
     }
 
 
+def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None) -> dict:
+    """Beam-search decode RTFx (capability extension; reference is greedy
+    only).  Same duration mix as the greedy bench; beams fold into the batch
+    (B×K rows share one KV cache) on the XLA while_loop path — the fused
+    kernel covers greedy only."""
+    import jax
+    import jax.numpy as jnp
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.decode.beam import beam_search_decode
+    from telugu_asr_tpu.decode.greedy import default_max_length
+    from telugu_asr_tpu.text import make_default_tokenizer
+    from telugu_asr_tpu.utils import setup_environment
+
+    from __graft_entry__ import _flagship
+
+    setup_environment()
+    tokenizer = make_default_tokenizer()
+    model = _flagship(tokenizer.vocab_size)
+    params = model.init(jax.random.PRNGKey(0))
+    featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+
+    @jax.jit
+    def recognize(params, audio, audio_lengths):
+        if on_tpu:
+            features, feat_lengths = featurizer.fused(audio, audio_lengths)
+        else:
+            features, feat_lengths = featurizer(audio, audio_lengths)
+        encoder_out, encoder_mask = model.encode(params, features, feat_lengths)
+        tokens, scores = beam_search_decode(
+            model, params, encoder_out, encoder_mask,
+            max_length=default_max_length(features.shape[1]),
+            beam_size=beam_size,
+            bos_id=tokenizer.bos_token_id,
+            eos_id=tokenizer.eos_token_id,
+            pad_id=tokenizer.pad_token_id,
+            cache_dtype=cache_dtype,
+        )
+        return jnp.sum(tokens) + jnp.sum(scores)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for seconds, count in WORKLOAD:
+        samples = int(seconds * 16000)
+        audio = jnp.asarray(rng.standard_normal((BATCH, samples)) * 0.1, jnp.float32)
+        lengths = jnp.full((BATCH,), samples, jnp.int32)
+        batches.append((seconds, count, audio, lengths))
+    for _, _, audio, lengths in batches:
+        float(recognize(params, audio, lengths))
+    round_trip = _round_trip_baseline(batches[0][3])
+    total_time = total_audio = 0.0
+    for seconds, count, audio, lengths in batches:
+        med = _sync_timer(recognize, params, audio, lengths, round_trip=round_trip)
+        total_time += med * count
+        total_audio += BATCH * seconds * count
+    rtfx = total_audio / total_time
+    return {
+        "metric": f"beam{beam_size}_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 20.0, 3),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--family", choices=("moonshine", "conformer"),
                         default="moonshine")
-    parser.add_argument("--mode", choices=("decode", "train"), default="decode")
+    parser.add_argument("--mode", choices=("decode", "train", "beam"),
+                        default="decode")
+    parser.add_argument("--beam", type=int, default=4,
+                        help="beam size for --mode beam")
     parser.add_argument("--batch", type=int, default=None,
                         help="train-mode batch size override (64 moonshine / 8 conformer)")
     parser.add_argument("--cache-dtype", default=None,
@@ -346,6 +417,8 @@ def main() -> None:
     if args.mode == "train":
         fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
         out = fn(args.batch) if args.batch else fn()
+    elif args.mode == "beam":
+        out = bench_moonshine_beam(args.beam, args.cache_dtype)
     elif args.family == "moonshine":
         out = bench_moonshine_decode(args.cache_dtype)
     else:

@@ -36,6 +36,23 @@ def test_beam_size_one_equals_greedy(model_and_encodings):
     np.testing.assert_array_equal(np.asarray(g_tokens), np.asarray(b_tokens))
 
 
+def test_beam_bf16_cache_mode(model_and_encodings):
+    """bf16 self/cross caches: same shape law, near-identical tokens on this
+    tiny problem (bf16 rounding may flip argmax near-ties, so compare scores
+    loosely rather than insisting on token identity)."""
+    model, params, enc_out, enc_mask = model_and_encodings
+    t32, s32 = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=8, beam_size=4,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+    )
+    t16, s16 = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=8, beam_size=4,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, cache_dtype="bfloat16",
+    )
+    assert t16.shape == t32.shape
+    np.testing.assert_allclose(np.asarray(s16), np.asarray(s32), atol=0.15)
+
+
 def test_beam_search_score_not_worse_than_greedy(model_and_encodings):
     """The best beam's sequence log-prob must be >= the greedy sequence's."""
     model, params, enc_out, enc_mask = model_and_encodings
