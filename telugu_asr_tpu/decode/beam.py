@@ -34,17 +34,100 @@ import jax.numpy as jnp
 
 from telugu_asr_tpu.models.moonshine.decoder import decoder_init_cache, decoder_step
 from telugu_asr_tpu.models.moonshine.model import ASRModel
+from telugu_asr_tpu.ops.attention import (
+    _masked_softmax,
+    _split_heads,
+    cross_attention_module_apply,
+)
+from telugu_asr_tpu.ops.mlp import ffn_module_apply
+from telugu_asr_tpu.ops.norm import layer_norm
+from telugu_asr_tpu.ops.rope import apply_rope, rope_rot_dim
 
 __all__ = ["beam_search_decode"]
 
 NEG_INF = -1e9
 
 
+def _lazy_self_mha(mp, x, cache, step, w_anc, attend, num_heads, k_beams):
+    """Self-attention over an UNREORDERED beam cache via ancestor weights.
+
+    Rows are beam-folded (``F = G utterances × K beams``); ``cache`` K/V
+    columns stay where the step that produced them wrote them, and
+    ``w_anc [G, K, K, L]`` (one-hot over the third axis) says which beam
+    SLOT ``p`` holds hypothesis ``(g, q)``'s key/value at column ``t``:
+    attention weights/values are computed all-pairs within the group and
+    combined with ``w_anc`` — the standard per-step gather of the whole
+    cache (the dominant beam-decode cost) disappears in exchange for K×
+    the attention FLOPs on the MXU.
+
+    ``attend [F, L]``: causal+validity mask.  Returns ``(out [F, 1, d],
+    new_cache)`` with this step's K/V written at column ``step`` in the
+    row's OWN slot (callers keep ``w_anc`` column ``step`` = identity).
+    """
+    head_dim = mp["query_kernel"].shape[-1] // num_heads
+    rot_dim = rope_rot_dim(head_dim)
+    inv_freq = mp["rope_inv_freq"]
+    f = x.shape[0]
+    g = f // k_beams
+    pos = jnp.full((f, 1), step, jnp.int32)
+
+    q = _split_heads(x @ mp["query_kernel"], num_heads)
+    q = apply_rope(q, pos, inv_freq, rot_dim)
+    kn = _split_heads(x @ mp["key_kernel"], num_heads)
+    kn = apply_rope(kn, pos, inv_freq, rot_dim)
+    vn = _split_heads(x @ mp["value_kernel"], num_heads)
+    k = jax.lax.dynamic_update_slice_in_dim(
+        cache["k"], kn.transpose(0, 2, 3, 1).astype(cache["k"].dtype), step, axis=3
+    )
+    v = jax.lax.dynamic_update_slice_in_dim(
+        cache["v"], vn.transpose(0, 2, 3, 1).astype(cache["v"].dtype), step, axis=3
+    )
+
+    length = k.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, q.dtype))
+    qr = (q[:, 0] * scale).reshape(g, k_beams, num_heads, head_dim)
+    kr = k.reshape(g, k_beams, num_heads, head_dim, length)
+    vr = v.reshape(g, k_beams, num_heads, head_dim, length)
+    # all-pairs scores within each utterance group, ancestor-combined
+    s_all = jnp.einsum("gqhd,gphdl->gqphl", qr, kr.astype(qr.dtype))
+    w5 = w_anc[:, :, :, None, :]
+    scores = jnp.sum(s_all * w5.astype(s_all.dtype), axis=2)  # [G, K, H, L]
+    probs = _masked_softmax(scores, attend.reshape(g, k_beams, 1, length))
+    pw = probs[:, :, None].astype(vr.dtype) * w5.astype(vr.dtype)
+    out = jnp.einsum("gqphl,gphdl->gqhd", pw, vr)
+    out = out.reshape(f, 1, num_heads * head_dim) @ mp["projection_kernel"]
+    return out, {"k": k, "v": v}
+
+
+def _lazy_decoder_step(params, cfg, embedded, cache, step, w_anc, attend,
+                       encoder_mask, k_beams):
+    """``decoder_step`` with the self-attention replaced by the
+    ancestor-weighted form (cross caches are beam-invariant and the FFN/LN
+    are row-local, so they need no reorder awareness)."""
+    x = embedded
+    positions = jnp.full((x.shape[0], 1), step, jnp.int32)
+    new_blocks = []
+    for block, bcache in zip(params["blocks"], cache["blocks"]):
+        attn, new_self = _lazy_self_mha(
+            block["masked_mhsa"]["mha"], x, bcache["self"], step, w_anc,
+            attend, cfg.num_heads, k_beams,
+        )
+        x = layer_norm(block["masked_mhsa"]["ln"], x + attn)
+        x = cross_attention_module_apply(
+            block["cross_attention"], x, None, cfg.num_heads,
+            key_value_mask=encoder_mask, q_positions=positions,
+            cross_cache=bcache["cross"],
+        )
+        x = ffn_module_apply(block["ffn"], x, cfg.activation)
+        new_blocks.append({"self": new_self, "cross": bcache["cross"]})
+    return x, {"blocks": new_blocks}
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "model", "max_length", "beam_size", "bos_id", "eos_id", "pad_id",
-        "length_penalty", "cache_dtype",
+        "length_penalty", "cache_dtype", "lazy_reorder",
     ),
 )
 def beam_search_decode(
@@ -60,8 +143,16 @@ def beam_search_decode(
     pad_id: int = 2,
     length_penalty: float = 0.0,
     cache_dtype: Optional[str] = None,
+    lazy_reorder: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ``(tokens [B, max_length], scores [B])`` for the best beam."""
+    """Returns ``(tokens [B, max_length], scores [B])`` for the best beam.
+
+    ``lazy_reorder=True`` (default) runs the ancestor-weighted self-attention
+    (:func:`_lazy_self_mha`): no per-step cache gather at all, at K× the
+    (tiny) attention FLOPs — same math, so the same beams up to float
+    associativity at argmax near-ties.  ``False`` keeps the textbook
+    gather-the-parents form as a portable cross-check path.
+    """
     cfg = model.cfg.decoder
     batch, t_enc, d = encoder_out.shape
     k = beam_size
@@ -80,19 +171,37 @@ def beam_search_decode(
     scores0 = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1)), (batch,)).reshape(flat)
     finished0 = jnp.zeros((flat,), bool)
 
+    # lazy mode: w_anc[g, q, p, t] — hypothesis (g, q)'s column-t K/V lives
+    # in beam slot p (one-hot over p for t <= step, zero beyond)
+    w_anc0 = jnp.zeros((batch, k, k, max_length + 1), jnp.float32)
+    eye_col = jnp.broadcast_to(
+        jnp.eye(k, dtype=jnp.float32)[None, :, :, None], (batch, k, k, 1)
+    )
+
     def cond(carry):
-        step, tokens, scores, finished, cache = carry
+        step, tokens, scores, finished, cache, w_anc = carry
         return (step < max_length) & ~jnp.all(finished)
 
     def body(carry):
-        step, tokens, scores, finished, cache = carry
+        step, tokens, scores, finished, cache, w_anc = carry
         current = tokens[:, step]
         embedded = model.embed(params, current)[:, None, :]
         key_valid = jnp.where((current == pad_id)[:, None], True, tokens != pad_id)
-        dec_out, new_cache = decoder_step(
-            params["decoder"], cfg, embedded, cache, step,
-            key_valid_mask=key_valid, encoder_mask=mask_flat,
-        )
+        if lazy_reorder:
+            # this step's K/V lands in each row's OWN slot
+            w_anc = jax.lax.dynamic_update_slice_in_dim(
+                w_anc, eye_col, step, axis=3
+            )
+            attend = (jnp.arange(max_length + 1)[None, :] <= step) & key_valid
+            dec_out, new_cache = _lazy_decoder_step(
+                params["decoder"], cfg, embedded, cache, step, w_anc, attend,
+                mask_flat, k,
+            )
+        else:
+            dec_out, new_cache = decoder_step(
+                params["decoder"], cfg, embedded, cache, step,
+                key_valid_mask=key_valid, encoder_mask=mask_flat,
+            )
         logp = jax.nn.log_softmax(
             model.classify(params, dec_out)[:, 0, :].astype(jnp.float32), axis=-1
         )  # [flat, V]
@@ -113,24 +222,31 @@ def beam_search_decode(
         finished = finished[parent]
         scores = top_scores.reshape(flat)
         finished = finished | (tokens[:, step + 1] == eos_id)
-        # re-gather ONLY the self caches: cross K/V rows are identical across
-        # an utterance's beams (they depend on the encoder output alone), so
-        # the parent gather is the identity on them
-        new_cache = {
-            "blocks": [
-                {
-                    "self": jax.tree_util.tree_map(
-                        lambda x: x[parent], bcache["self"]
-                    ),
-                    "cross": bcache["cross"],
-                }
-                for bcache in new_cache["blocks"]
-            ]
-        }
-        return step + 1, tokens, scores, finished, new_cache
+        if lazy_reorder:
+            # compose ancestries through the surviving parents — the K/V
+            # columns themselves never move
+            p_onehot = jax.nn.one_hot(src_beam, k, dtype=w_anc.dtype)
+            w_anc = jnp.einsum("gqp,gpkl->gqkl", p_onehot, w_anc)
+        else:
+            # eager: re-gather ONLY the self caches — cross K/V rows are
+            # identical across an utterance's beams (they depend on the
+            # encoder output alone), so the parent gather is the identity
+            # on them
+            new_cache = {
+                "blocks": [
+                    {
+                        "self": jax.tree_util.tree_map(
+                            lambda x: x[parent], bcache["self"]
+                        ),
+                        "cross": bcache["cross"],
+                    }
+                    for bcache in new_cache["blocks"]
+                ]
+            }
+        return step + 1, tokens, scores, finished, new_cache, w_anc
 
-    _, tokens, scores, finished, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, scores0, finished0, cache)
+    _, tokens, scores, finished, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens0, scores0, finished0, cache, w_anc0)
     )
 
     generated = tokens[:, 1:].reshape(batch, k, max_length)

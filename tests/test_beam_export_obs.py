@@ -36,6 +36,82 @@ def test_beam_size_one_equals_greedy(model_and_encodings):
     np.testing.assert_array_equal(np.asarray(g_tokens), np.asarray(b_tokens))
 
 
+def test_beam_lazy_equals_eager(model_and_encodings):
+    """Ancestor-weighted (no cache gather) beam == textbook gathered beam:
+    same math, so identical surviving beams and near-identical scores."""
+    model, params, enc_out, enc_mask = model_and_encodings
+    t_lazy, s_lazy = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=10, beam_size=3,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, lazy_reorder=True,
+    )
+    t_eager, s_eager = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=10, beam_size=3,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, lazy_reorder=False,
+    )
+    np.testing.assert_array_equal(np.asarray(t_lazy), np.asarray(t_eager))
+    np.testing.assert_allclose(np.asarray(s_lazy), np.asarray(s_eager),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lazy_self_mha_matches_gathered():
+    """_lazy_self_mha on a scrambled cache + ancestor map == mha_apply on the
+    explicitly parent-gathered cache."""
+    from telugu_asr_tpu.decode.beam import _lazy_self_mha
+    from telugu_asr_tpu.ops.attention import mha_init, mha_apply
+
+    g, k, h, dh, d, L = 2, 3, 2, 16, 32, 7
+    f = g * k
+    step = 4
+    rng = jax.random.PRNGKey(0)
+    mp = mha_init(rng, d, h, dh)
+    x = jax.random.normal(jax.random.PRNGKey(1), (f, 1, d))
+    cache = {
+        "k": jax.random.normal(jax.random.PRNGKey(2), (f, h, dh, L)),
+        "v": jax.random.normal(jax.random.PRNGKey(3), (f, h, dh, L)),
+    }
+    # random group-local ancestor slots for the filled columns
+    anc = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(4), (g, k, L), 0, k)
+    )
+    w = np.zeros((g, k, k, L), np.float32)
+    for gi in range(g):
+        for qi in range(k):
+            for t in range(step + 1):
+                w[gi, qi, anc[gi, qi, t], t] = 1.0
+    attend = jnp.arange(L)[None, :] <= step
+    attend = jnp.broadcast_to(attend, (f, L))
+
+    out_lazy, new_cache = _lazy_self_mha(
+        mp, x, cache, jnp.int32(step), jnp.asarray(w), attend, h, k
+    )
+
+    # eager reference: gather each row's ancestor cache columns, run the
+    # stock attention on the gathered cache (the new column write included)
+    kg = np.zeros((f, h, dh, L), np.float32)
+    vg = np.zeros((f, h, dh, L), np.float32)
+    knew = np.asarray(new_cache["k"])  # holds this step's column in own slot
+    vnew = np.asarray(new_cache["v"])
+    for gi in range(g):
+        for qi in range(k):
+            r = gi * k + qi
+            for t in range(step + 1):
+                src = gi * k + anc[gi, qi, t]
+                kg[r, :, :, t] = knew[src, :, :, t]
+                vg[r, :, :, t] = vnew[src, :, :, t]
+    # own column at `step` must be the row's own write
+    positions = jnp.full((f, 1), step, jnp.int32)
+    out_eager, _ = mha_apply(
+        mp, x, x, h,
+        mask=attend[:, None, None, :],
+        q_positions=positions, kv_positions=positions,
+        cache={"k": jnp.asarray(kg), "v": jnp.asarray(vg)},
+        cache_index=None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_lazy), np.asarray(out_eager), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_beam_bf16_cache_mode(model_and_encodings):
     """bf16 self/cross caches: same shape law, near-identical tokens on this
     tiny problem (bf16 rounding may flip argmax near-ties, so compare scores
