@@ -72,7 +72,11 @@ class MoonshineConfig:
         ``"activations"`` with default ``["tanh","gelu","gelu"]``
         (moonshine/encoder.py:25) while the committed YAML spells the key
         ``"activation"`` — so the shipped model EFFECTIVELY ran tanh/gelu/gelu.
-        We accept both keys, preferring ``activations``.
+        We replicate that exactly (the singular key is IGNORED, like the
+        reference): reading it instead would silently build a different
+        network than the one reference-trained h5 checkpoints belong to
+        (verified against the reference's own Keras code in
+        tests/test_reference_conversion.py).
         """
         mc = dict(model_config)
         d_model = int(mc.get("d_model", 192))
@@ -81,7 +85,7 @@ class MoonshineConfig:
         dec = dict(mc.get("decoder_config", {}) or {})
         sub_kernel = _tuple(sub.get("kernel_size", [9, 9, 9]))
         n = len(sub_kernel)
-        sub_act = sub.get("activations", sub.get("activation", ["tanh", "gelu", "gelu"]))
+        sub_act = sub.get("activations", ["tanh", "gelu", "gelu"])
         encoder = EncoderConfig(
             d_model=d_model,
             num_blocks=int(enc.get("num_blocks", 6)),

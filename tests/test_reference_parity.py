@@ -83,7 +83,7 @@ def converted(ref_artifacts):
     model = ASRModel(MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size))
     params = model.init(jax.random.PRNGKey(0))
     params, names, skipped = convert(str(ref_artifacts / "reference.h5"), params, strict=True)
-    golden = np.load(ref_artifacts / "golden.npz")
+    golden = np.load(ref_artifacts / "reference_golden.npz")
     return model, params, names, skipped, golden
 
 

@@ -31,7 +31,9 @@ Usage:
     python tools/make_reference_h5.py --out-dir /tmp/ref_artifacts \
         [--config config/model.yaml] [--reference /root/reference]
 
-Writes ``reference.h5`` and ``golden.npz`` into ``--out-dir``.
+Writes ``<stem>.h5`` and ``<stem>_golden.npz`` into ``--out-dir``
+(stem defaults to ``reference``; ``--tiny --stem reference_tiny`` mints the
+committed quick-lane goldens in tests/golden/).
 """
 from __future__ import annotations
 
@@ -44,6 +46,7 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
 
 import argparse
 import importlib.util
+import json
 import sys
 import types
 
@@ -141,6 +144,14 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=3)
     parser.add_argument("--frames", type=int, default=90, help="mel frames (pre-subsampling)")
     parser.add_argument("--text-len", type=int, default=12)
+    parser.add_argument(
+        "--tiny", action="store_true",
+        help="shrink the model_config (d_model 64, 2+2 blocks, 2 heads) so the "
+        "emitted h5 is small enough to COMMIT as a quick-lane golden "
+        "(tests/test_reference_conversion.py)",
+    )
+    parser.add_argument("--stem", default="reference",
+                        help="output file stem: <stem>.h5 + <stem>_golden.npz")
     args = parser.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -156,7 +167,16 @@ def main() -> None:
     import tensorflow as tf
 
     tf.keras.utils.set_random_seed(42)
-    model = build_reference_model(config.model_config, tokenizer.vocab_size, args.reference)
+    model_config = dict(config.model_config)
+    if args.tiny:
+        model_config["d_model"] = 64
+        model_config["encoder_config"] = dict(
+            model_config["encoder_config"], num_blocks=2, num_heads=2, head_dim=32
+        )
+        model_config["decoder_config"] = dict(
+            model_config["decoder_config"], num_blocks=2, num_heads=2, head_dim=32
+        )
+    model = build_reference_model(model_config, tokenizer.vocab_size, args.reference)
 
     num_bins = config.speech_config["num_feature_bins"]
     rng = np.random.default_rng(7)
@@ -187,7 +207,7 @@ def main() -> None:
     ).numpy()
 
     os.makedirs(args.out_dir, exist_ok=True)
-    h5_path = os.path.join(args.out_dir, "reference.h5")
+    h5_path = os.path.join(args.out_dir, f"{args.stem}.h5")
     model.save_weights(h5_path)
 
     # Greedy decode goldens, per-utterance exactly as the reference harness
@@ -205,7 +225,8 @@ def main() -> None:
     decoded_batch = model.recognize(tf.constant(features)).numpy()
 
     np.savez(
-        os.path.join(args.out_dir, "golden.npz"),
+        os.path.join(args.out_dir, f"{args.stem}_golden.npz"),
+        model_config=json.dumps(model_config),
         features=features,
         feat_lengths=feat_lengths,
         text=text,
@@ -215,7 +236,7 @@ def main() -> None:
         decoded_batch=decoded_batch,
     )
     n_weights = len(model.weights)
-    print(f"saved {h5_path} ({n_weights} weights) and golden.npz")
+    print(f"saved {h5_path} ({n_weights} weights) and {args.stem}_golden.npz")
     print(f"logits shape {logits.shape}; decode lens: single={decoded_single.shape} cap={decoded_cap.shape} batch={decoded_batch.shape}")
 
 
