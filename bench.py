@@ -324,7 +324,9 @@ def bench_moonshine_decode(cache_dtype=None) -> dict:
     }
 
 
-def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None) -> dict:
+def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None,
+                         lazy_reorder: bool = True,
+                         attention_impl=None) -> dict:
     """Beam-search decode RTFx (capability extension; reference is greedy
     only).  Same duration mix as the greedy bench; beams fold into the batch
     (B×K rows share one KV cache) on the XLA while_loop path — the fused
@@ -362,6 +364,8 @@ def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None) -> dict:
             eos_id=tokenizer.eos_token_id,
             pad_id=tokenizer.pad_token_id,
             cache_dtype=cache_dtype,
+            lazy_reorder=lazy_reorder,
+            attention_impl=attention_impl,
         )
         return jnp.sum(tokens) + jnp.sum(scores)
 
@@ -397,6 +401,12 @@ def main() -> None:
                         default="decode")
     parser.add_argument("--beam", type=int, default=4,
                         help="beam size for --mode beam")
+    parser.add_argument("--beam-impl", choices=("auto", "xla", "fused"),
+                        default="auto", help="beam mode: decode path "
+                        "(auto = fused Pallas kernel on TPU when it fits)")
+    parser.add_argument("--eager-reorder", action="store_true",
+                        help="beam mode: textbook gathered-cache path "
+                        "(default is the ancestor-weighted lazy path)")
     parser.add_argument("--batch", type=int, default=None,
                         help="train-mode batch size override (64 moonshine / 8 conformer)")
     parser.add_argument("--cache-dtype", default=None,
@@ -418,7 +428,11 @@ def main() -> None:
         fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
         out = fn(args.batch) if args.batch else fn()
     elif args.mode == "beam":
-        out = bench_moonshine_beam(args.beam, args.cache_dtype)
+        out = bench_moonshine_beam(
+            args.beam, args.cache_dtype,
+            lazy_reorder=not args.eager_reorder,
+            attention_impl=None if args.beam_impl == 'auto' else args.beam_impl,
+        )
     elif args.family == "moonshine":
         out = bench_moonshine_decode(args.cache_dtype)
     else:

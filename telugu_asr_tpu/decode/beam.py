@@ -123,11 +123,26 @@ def _lazy_decoder_step(params, cfg, embedded, cache, step, w_anc, attend,
     return x, {"blocks": new_blocks}
 
 
+def _select_best(generated, scores, length_penalty: float, pad_id: int):
+    """Final beam selection (shared by the XLA and fused paths):
+    length-normalized when ``length_penalty > 0``, else raw scores."""
+    batch = generated.shape[0]
+    if length_penalty > 0.0:
+        lengths = jnp.sum(generated != pad_id, axis=-1).astype(jnp.float32)
+        norm = jnp.maximum(lengths, 1.0) ** length_penalty
+        ranked = scores / norm
+    else:
+        ranked = scores
+    best = jnp.argmax(ranked, axis=-1)
+    idx = jnp.arange(batch)
+    return generated[idx, best], scores[idx, best]
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "model", "max_length", "beam_size", "bos_id", "eos_id", "pad_id",
-        "length_penalty", "cache_dtype", "lazy_reorder",
+        "length_penalty", "cache_dtype", "lazy_reorder", "attention_impl",
     ),
 )
 def beam_search_decode(
@@ -144,16 +159,60 @@ def beam_search_decode(
     length_penalty: float = 0.0,
     cache_dtype: Optional[str] = None,
     lazy_reorder: bool = True,
+    attention_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ``(tokens [B, max_length], scores [B])`` for the best beam.
 
-    ``lazy_reorder=True`` (default) runs the ancestor-weighted self-attention
-    (:func:`_lazy_self_mha`): no per-step cache gather at all, at K× the
-    (tiny) attention FLOPs — same math, so the same beams up to float
-    associativity at argmax near-ties.  ``False`` keeps the textbook
-    gather-the-parents form as a portable cross-check path.
+    ``attention_impl``: "fused" runs the ENTIRE beam decode in one Pallas
+    kernel (weights + KV caches VMEM-resident, in-kernel top-K and parent
+    reorder — ops/pallas/decode_fused_beam.py); "xla" is the portable
+    while_loop path; ``None``/"auto" picks fused on TPU when the config,
+    power-of-two beam width, cache dtype and VMEM budget allow, else xla.
+    Fused beams can diverge from xla at top-K boundary near-ties (scores
+    ACCUMULATE float differences, unlike greedy's memoryless argmax) —
+    measured ~3e-4/step score drift on v5e; on trained models hypotheses
+    separate decisively and flips land on near-equivalent beams.
+
+    ``lazy_reorder=True`` (default, xla path) runs the ancestor-weighted
+    self-attention (:func:`_lazy_self_mha`): no per-step cache gather at
+    all, at K× the (tiny) attention FLOPs — same math, so the same beams up
+    to float associativity at argmax near-ties; measured 611× vs 299× RTFx
+    (2.04×) over the gathered form at B=64/K=4 f32 on v5e.  ``False`` keeps
+    the textbook gather-the-parents form as a cross-check path.
     """
     cfg = model.cfg.decoder
+    if attention_impl not in (None, "auto", "xla", "fused"):
+        raise ValueError(
+            f"unknown attention_impl {attention_impl!r}; "
+            "expected None, 'auto', 'xla', or 'fused'"
+        )
+    impl = attention_impl if attention_impl in ("xla", "fused") else None
+    if impl is None:
+        from telugu_asr_tpu.ops.pallas.decode_fused_beam import fused_beam_fits
+
+        impl = "fused" if (
+            jax.default_backend() in ("tpu", "axon")
+            and cache_dtype in (None, "float32", "bfloat16")
+            and fused_beam_fits(
+                cfg, encoder_out.shape[0], beam_size, encoder_out.shape[1],
+                max_length, vocab=model.cfg.vocab_size,
+                cache_dtype=cache_dtype,
+            )
+        ) else "xla"
+    if impl == "fused":
+        from telugu_asr_tpu.ops.pallas.decode_fused_beam import (
+            fused_beam_search_decode,
+        )
+
+        generated, scores = fused_beam_search_decode(
+            params["decoder"], cfg, encoder_out, encoder_mask,
+            params["text_embedding"]["table"],
+            params["classifier"]["kernel"], params["classifier"]["bias"],
+            max_length, beam_size=beam_size,
+            bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
+            cache_dtype=cache_dtype,
+        )
+        return _select_best(generated, scores, length_penalty, pad_id)
     batch, t_enc, d = encoder_out.shape
     k = beam_size
     flat = batch * k
@@ -251,12 +310,4 @@ def beam_search_decode(
 
     generated = tokens[:, 1:].reshape(batch, k, max_length)
     scores = scores.reshape(batch, k)
-    if length_penalty > 0.0:
-        lengths = jnp.sum(generated != pad_id, axis=-1).astype(jnp.float32)
-        norm = jnp.maximum(lengths, 1.0) ** length_penalty
-        ranked = scores / norm
-    else:
-        ranked = scores
-    best = jnp.argmax(ranked, axis=-1)
-    idx = jnp.arange(batch)
-    return generated[idx, best], scores[idx, best]
+    return _select_best(generated, scores, length_penalty, pad_id)

@@ -657,7 +657,9 @@ def fused_supported(cfg) -> bool:
 def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
                cache_bytes: int, weight_bytes: int,
                cross_bytes: Optional[int] = None,
-               combined: bool = False) -> int:
+               combined: bool = False,
+               row_multiple: int = 8,
+               extra_per_row_bytes: int = 0) -> int:
     """Largest multiple-of-8 divisor of batch whose cell fits the VMEM budget
     (Mosaic requires blocked sublane dims divisible by 8); 0 if even the
     8-row cell does not fit (callers fall back to the XLA path).
@@ -672,8 +674,11 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
     if cross_bytes is None:
         cross_bytes = cache_bytes
     # the cross HBM DMA indexes only the major (cell) dim, so rows need only
-    # satisfy the blocked-sublane law of the VMEM-sliced inputs (f32 tile 8)
-    row_tile = 8
+    # satisfy the blocked-sublane law of the VMEM-sliced inputs (f32 tile 8);
+    # the beam kernel additionally requires whole K-row utterance groups per
+    # cell (row_multiple = lcm(8, beam_size)) and charges its per-row
+    # selection/token-history temps via ``extra_per_row_bytes``
+    row_tile = row_multiple
 
     def tile_rows(rows: int, nbytes: int) -> int:
         # Mosaic allocates the [.., rows, dp] scratch in packed sublane
@@ -699,6 +704,7 @@ def _pick_rows(batch: int, n_blocks: int, d: int, lp: int, tc: int,
             n_blocks * lp * tile_rows(rows, cache_bytes) * self_lanes * cache_bytes
             + 2 * n_blocks * tc * tile_rows(rows, cross_bytes) * dp * cross_bytes
             + temps
+            + rows * extra_per_row_bytes
         )
         if cache_bytes == 1:
             # per-row self-scale scratch [Lp, R, 2NB] (lanes pad to 128)
