@@ -44,8 +44,13 @@ def predict_batches(
     parity_unmasked_cross: bool = False,
     max_length_quantum: int = 8,
     cache_dtype=None,
+    beam_size: int = 1,
 ):
     """Yield ``(entry_indices, hypothesis_texts, groundtruth_texts)`` per batch.
+
+    ``beam_size > 1`` decodes with beam search (fused kernel on TPU when it
+    fits, decode/beam.py auto-resolve) — a capability extension over the
+    reference's greedy-only eval.
 
     Host→device audio ships as int16 (half the bytes of float32 — the
     transfer, not compute, bounds end-to-end eval throughput) and the NEXT
@@ -64,6 +69,18 @@ def predict_batches(
         audio = audio_i16.astype(jnp.float32) / 32768.0
         features, feat_lengths = featurizer(audio, lengths)
         encoder_out, encoder_mask = model.encode(params, features, feat_lengths)
+        if beam_size > 1:
+            from telugu_asr_tpu.decode.beam import beam_search_decode
+
+            tokens, _ = beam_search_decode(
+                model, params, encoder_out, encoder_mask,
+                max_length=max_len, beam_size=beam_size,
+                bos_id=tokenizer.bos_token_id,
+                eos_id=tokenizer.eos_token_id,
+                pad_id=tokenizer.pad_token_id,
+                cache_dtype=cache_dtype,
+            )
+            return tokens
         tokens, _ = greedy_decode(
             model,
             params,
@@ -138,6 +155,7 @@ def run_testing(
     parity_unmasked_cross: bool = False,
     family: str = "moonshine",
     model_state: dict = None,
+    beam_size: int = 1,
 ) -> Dict[str, float]:
     """Predict the whole dataset, write the TSV artifact, return metrics."""
     rows: dict = {}
@@ -156,6 +174,7 @@ def run_testing(
             batch_size,
             tokens_per_second=tokens_per_second,
             parity_unmasked_cross=parity_unmasked_cross,
+            beam_size=beam_size,
         )
     for indices, hyps, refs in batch_iter:
         for i, hyp, ref in zip(indices, hyps, refs):

@@ -484,10 +484,7 @@ def fused_beam_search_decode(
     # ---- group padding: whole utterance groups per cell ---------------------
     mult = _lcm8(kb)
     groups_per_tile = mult // kb
-    padded_groups = _round_up(true_batch, groups_per_tile)
-    if not interpret:
-        pass  # mult already covers the 8-row sublane law
-    batch_g = padded_groups
+    batch_g = _round_up(true_batch, groups_per_tile)
     if batch_g != true_batch:
         pad_rows = [(0, batch_g - true_batch)]
         encoder_out = jnp.pad(encoder_out, pad_rows + [(0, 0), (0, 0)])

@@ -30,6 +30,9 @@ def main() -> None:
         action="store_true",
         help="reproduce the reference's unmasked cross-attention during decode",
     )
+    parser.add_argument("--beam", type=int, default=1,
+                        help="beam size (1 = greedy; >1 uses beam search — "
+                        "fused kernel on TPU when it fits)")
     parser.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
@@ -99,6 +102,7 @@ def main() -> None:
         parity_unmasked_cross=args.parity_unmasked_cross,
         family=family,
         model_state=model_state,
+        beam_size=args.beam,
     )
     for key, value in metrics.items():
         print(f"{key}: {value:.4f}" if isinstance(value, float) else f"{key}: {value}")

@@ -51,6 +51,14 @@ run tail_kv_mixed 1200 python tools/bench_decode_fused.py --seconds 17.73 --cach
 run validate_int8 2400 python tools/validate_fused_configs.py --cache-dtype int8
 run validate_int8_tail 2400 python tools/validate_fused_configs.py --cache-dtype int8 --seconds 17.73 --batch 64
 
+# 4b. fused BEAM kernel: HPO-space parity (best-beam agreement + exact
+# re-scoring of kernel hypotheses) and the K/dtype bench ladder
+run validate_beam4 2400 python tools/validate_fused_configs.py --beam 4 --batch 8
+run validate_beam8 2400 python tools/validate_fused_configs.py --beam 8 --batch 8
+run bench_beam 1800 python bench.py --mode beam
+run bench_beam_xla 1800 python bench.py --mode beam --beam-impl xla
+run bench_beam8 1800 python bench.py --mode beam --beam 8
+
 # 5. kernel cost distribution probes (flagship bucket)
 run probe 3600 python tools/probe_fused_costs.py
 

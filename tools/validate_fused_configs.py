@@ -40,6 +40,12 @@ def main() -> None:
                         help="also validate deflate-scores, combine-kv and "
                              "the bf16-self + int8-cross mixed cache per "
                              "config (exact opt-ins; ~3 extra compiles each)")
+    parser.add_argument("--beam", type=int, default=0,
+                        help="validate the fused BEAM kernel instead of "
+                             "greedy: per config, fused-vs-XLA best-beam "
+                             "agreement + exact re-scoring of the kernel's "
+                             "hypotheses (catches selection/reorder bugs "
+                             "that near-tie flips cannot explain)")
     args = parser.parse_args()
 
     sys.path.insert(0, ".")
@@ -114,6 +120,106 @@ def main() -> None:
                 continue
             kw = dict(max_length=cap, bos_id=tokenizer.bos_token_id,
                       eos_id=tokenizer.eos_token_id, pad_id=tokenizer.pad_token_id)
+            if args.beam > 1:
+                from telugu_asr_tpu.decode.beam import beam_search_decode
+                from telugu_asr_tpu.models.moonshine.decoder import decoder_apply
+                from telugu_asr_tpu.ops.pallas.decode_fused_beam import (
+                    fused_beam_fits,
+                    fused_beam_search_decode,
+                    fused_beam_supported,
+                )
+
+                if not fused_beam_supported(cfg.decoder, args.beam):
+                    print(f"{tag}: beam{args.beam} structurally rejected (ok)")
+                    continue
+                if not fused_beam_fits(cfg.decoder, args.batch, args.beam,
+                                       eo.shape[1], cap, vocab=cfg.vocab_size):
+                    print(f"{tag}: beam{args.beam} fused_beam_fits=False → "
+                          "XLA fallback (ok)")
+                    continue
+                t0 = time.perf_counter()
+                gen, sc = jax.block_until_ready(fused_beam_search_decode(
+                    fparams["decoder"], cfg.decoder, eo, em,
+                    fparams["text_embedding"]["table"],
+                    fparams["classifier"]["kernel"],
+                    fparams["classifier"]["bias"],
+                    cap, beam_size=args.beam, bos_id=kw["bos_id"],
+                    eos_id=kw["eos_id"], pad_id=kw["pad_id"],
+                ))
+                compile_s = time.perf_counter() - t0
+                gen, sc = np.asarray(gen), np.asarray(sc)
+                t_x, _ = beam_search_decode(
+                    model, fparams, eo, em, beam_size=args.beam,
+                    attention_impl="xla", **kw,
+                )
+                best = sc.argmax(-1)
+                t_f = gen[np.arange(gen.shape[0]), best]
+                agree = float((t_f == np.asarray(t_x)).mean())
+
+                # exact re-scoring of the kernel's own hypotheses: reported
+                # beam score must equal the XLA teacher-forced logp sum —
+                # a selection/reorder bug breaks this by O(1), near-tie
+                # flips cannot (each hypothesis is re-scored, not compared).
+                # ONE batched jitted pass over all B*K hypotheses (per-hyp
+                # eager rescoring dispatches minutes of tunnel round-trips).
+                bsz, kbm, lcap = gen.shape
+                pad, eos, bos = kw["pad_id"], kw["eos_id"], kw["bos_id"]
+                flat_tok = gen.reshape(bsz * kbm, lcap)
+                is_eos = flat_tok == eos
+                n_out = np.where(
+                    is_eos.any(1), is_eos.argmax(1) + 1,
+                    (flat_tok != pad).sum(1),
+                )  # tokens scored per hypothesis (EOS inclusive)
+                prefix = np.full((bsz * kbm, lcap + 1), pad, np.int32)
+                prefix[:, 0] = bos
+                for r_ in range(bsz * kbm):
+                    n_in = max(int(n_out[r_]) - 1, 0)  # EOS not fed back
+                    prefix[r_, 1:1 + n_in] = flat_tok[r_, :n_in]
+
+                @jax.jit
+                def rescore_all(prefix, targets, n_out):
+                    x = jnp.asarray(prefix)
+                    embx = fparams["text_embedding"]["table"][x]
+                    eo_rep = jnp.repeat(eo, kbm, axis=0)
+                    em_rep = jnp.repeat(em, kbm, axis=0)
+                    dec = decoder_apply(
+                        fparams["decoder"], cfg.decoder, embx, eo_rep,
+                        text_mask=(x != pad) | (jnp.arange(x.shape[1])[None] == 0),
+                        encoder_mask=em_rep,
+                    )
+                    logits = (dec @ fparams["classifier"]["kernel"]
+                              + fparams["classifier"]["bias"])
+                    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                    pos = jnp.arange(lcap)[None]
+                    tgt_lp = jnp.take_along_axis(
+                        logp[:, :lcap], jnp.asarray(targets)[..., None], -1
+                    )[..., 0]
+                    return jnp.sum(
+                        jnp.where(pos < jnp.asarray(n_out)[:, None], tgt_lp, 0.0),
+                        axis=-1,
+                    )
+
+                exact = np.asarray(
+                    rescore_all(prefix, flat_tok, n_out)
+                ).reshape(bsz, kbm)
+                # The correctness gate is best-beam agreement.  Drift is a
+                # BUG-MAGNITUDE tripwire: a selection/reorder bug
+                # misattributes whole per-token logps (drift ~ |score|·O(1)),
+                # while benign MXU-vs-XLA accumulation drift stays far below
+                # the score scale even on ×50-peaked untrained logits
+                # (measured 2.7–5.1e-3/step absolute here).
+                drift = float(np.abs(exact - sc).max())
+                score_scale = float(np.abs(exact).mean())
+                ok = agree >= 0.90 and drift < 0.5 * (score_scale + 1.0)
+                print(
+                    f"{tag}: fused beam{args.beam} ran on-chip, "
+                    f"best-beam agreement={agree:.2%}, rescore drift "
+                    f"{drift:.2e} abs vs score scale {score_scale:.1f} "
+                    f"{'OK' if ok else 'FAIL'} "
+                    f"(cap={cap}, compile+run {compile_s:.1f}s)"
+                )
+                failures += 0 if ok else 1
+                continue
             t0 = time.perf_counter()
             tok_f, len_f = jax.block_until_ready(
                 greedy_decode(model, params, eo, em, attention_impl="fused",
