@@ -90,6 +90,19 @@ _SLOW_TESTS = {
     "test_fused_combined_kv_token_parity",      # 40 s
     "test_fused_combined_kv_multisegment_parity",  # 16 s
     "test_fused_deflate_with_fast_segments_runs",  # 8 s
+    # round-2 additions (measured on the 1-CPU host, --durations)
+    "test_tp_dp_sharded_step_matches_dp",       # 56 s
+    "test_relmha_pos_stream_lengths",           # 24 s
+    "test_relative_shift_sliced_matches_padded",  # 23 s
+    "test_fused_beam_group_padding",            # 22 s
+    "test_committed_reference_h5_zero_skip_and_token_identical",  # 22 s
+    "test_fused_beam_bf16_cache_close",         # 20 s
+    "test_fused_beam_matches_xla",              # 11-16 s each param
+    "test_mha_causal",                          # 16 s
+    "test_mha_padding_invariance",              # 15 s
+    "test_pipeline_moonshine_encoder_blocks",   # 14 s
+    "test_fused_bf16_cache_runs",               # 13 s
+    "test_pipeline_gradient_matches_sequential",  # 12 s
 }
 
 
