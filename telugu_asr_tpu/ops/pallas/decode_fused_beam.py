@@ -4,8 +4,7 @@ Extends the greedy whole-loop kernel (decode_fused.py) to beam search: ONE
 kernel launch runs the entire beam decode — token while_loop, all decoder
 blocks over VMEM-resident KV caches, classifier, per-group log-softmax,
 top-K candidate selection over K·V, and the surviving-parent cache reorder —
-for a cell of whole utterance groups (``rows = G × K``, beams contiguous
-within a group).
+for a cell of whole utterance groups (``rows = K × Gc``, beam-major).
 
 Semantics are exactly :func:`telugu_asr_tpu.decode.beam.beam_search_decode`
 (the XLA reference): BOS-seeded beams with only slot 0 live, log-softmax
@@ -16,18 +15,23 @@ path only at float-associativity argmax/top-k near-ties.
 
 Design notes (beyond the greedy kernel's — see decode_fused.py):
 
+* **Beam-major rows.**  A cell's rows are laid out ``q * Gc + g`` (beam
+  index major, ``Gc`` utterance groups per cell), NOT utterance-major: a
+  group-local cyclic shift in the beam index is then ONE global sublane
+  roll by ``o·Gc`` (utterance-major needs two rolls + an iota select to
+  stitch each group boundary), and the beam-invariant cross K/V needs only
+  ``Gc`` scratch rows — the kernel tiles them across the K beams with a
+  register concat at use, cutting cross VMEM and the per-cell DMA by K×.
+  The host permutes encoder rows in and tokens/scores out.
 * **Eager in-VMEM parent reorder via group rolls.**  Beam search must
   re-gather each row's K/V history to its surviving parent every step.  A
   per-row gather is not vectorizable in Mosaic, but the parent always lies
-  in the SAME K-row utterance group, so the gather is a group-local cyclic
-  shift selected per row: for each offset ``o`` in ``1..K-1``, a sublane
-  roll of the cache segment by ``o`` (two global rolls + an iota select
-  stitch the group boundary) and a per-row ``where(parent_offset == o)``.
-  K passes over the live cache columns ≈ the attention's own read traffic —
-  measured cheaper than the all-pairs ancestor-weighted form
-  (decode/beam.py ``lazy_reorder``), which needs per-(row, column) ancestor
-  masks that Mosaic's lane-padded ``[.., R, 1]`` layouts make ruinously
-  expensive to recompose.
+  in the same utterance group, so the gather is K-1 beam-major rolls with a
+  per-row ``where(parent_offset == o)``.  K passes over the live cache
+  columns ≈ the attention's own read traffic — measured cheaper than the
+  all-pairs ancestor-weighted form (decode/beam.py ``lazy_reorder``), which
+  needs per-(row, column) ancestor masks that Mosaic's lane-padded
+  ``[.., R, 1]`` layouts make ruinously expensive to recompose.
 * **No PAD-query quirk in the valid mask.**  A live (unfinished) beam never
   holds PAD or EOS in its history (a finished parent's children are finished
   by construction), and finished rows' decoder outputs are discarded (their
@@ -63,10 +67,10 @@ from telugu_asr_tpu.ops.pallas.decode_fused import (
     LANE_TILE,
     MASK_BIAS,
     SEG,
+    _VMEM_BUDGET,
     _even_mask,
     _freq_lanes,
     _ones_block,
-    _pick_rows,
     _rope_inplace_perm,
     _round_up,
     fused_supported,
@@ -92,10 +96,39 @@ def _lcm8(k: int) -> int:
     return 8 * k // np.gcd(8, k)
 
 
-def _beam_extra_per_row(lp: int, vp: int) -> int:
-    """Per-row VMEM for the beam additions: the [R, Lp] token-history
-    scratch + ~6 [R, Vp]-class f32 selection temps (cand/logp/fidx/trees)."""
-    return (lp + 6 * vp) * 4
+def _pick_rows_beam(flat: int, kb: int, n_blocks: int, d: int, lp: int,
+                    tc: int, vp: int, cache_bytes: int,
+                    weight_bytes: int, dedup: bool) -> int:
+    """Largest beam-major cell (rows = K·Gc) fitting the VMEM budget.
+
+    Same budget laws as decode_fused._pick_rows, with the beam deltas: the
+    cell charges the [R, Lp] token-history scratch plus ~6 [R, Vp]-class
+    f32 selection temps, and with ``dedup`` the cross K/V scratch holds
+    only ``Gc = rows / K`` utterance rows (beams share them — the kernel
+    tiles at use; requires Gc % 8 == 0, the blocked-sublane law of the
+    per-cell cross inputs).  Without dedup the cross rows are
+    beam-duplicated (any Gc; larger scratch + DMA)."""
+    dp = _round_up(d, LANE_TILE)
+    mult = 8 * kb if dedup else _lcm8(kb)
+
+    def tile_rows(rows: int, nbytes: int) -> int:
+        return _round_up(rows, {1: 32, 2: 16}.get(nbytes, 8))
+
+    best = 0
+    for rows in range(mult, flat + 1, mult):
+        if flat % rows:
+            continue
+        cross_rows = rows // kb if dedup else rows
+        temps = 12 * SEG * rows * dp * 4
+        cell = (
+            2 * n_blocks * lp * tile_rows(rows, cache_bytes) * dp * cache_bytes
+            + 2 * n_blocks * tc * tile_rows(cross_rows, cache_bytes) * dp * cache_bytes
+            + temps
+            + rows * (lp + 6 * vp) * 4
+        )
+        if weight_bytes + cell <= _VMEM_BUDGET:
+            best = rows
+    return best
 
 
 def fused_beam_fits(cfg, batch: int, beam_size: int, t_enc: int,
@@ -112,10 +145,9 @@ def fused_beam_fits(cfg, batch: int, beam_size: int, t_enc: int,
     wb = 48 * cfg.d_model * cfg.d_model * cfg.num_blocks
     cbs = (jnp.dtype(cache_dtype).itemsize,) if cache_dtype else (2, 4)
     return any(
-        _pick_rows(b, cfg.num_blocks, cfg.d_model, lp, tc, cb, wb,
-                   row_multiple=mult,
-                   extra_per_row_bytes=_beam_extra_per_row(lp, vp)) > 0
-        for cb in cbs
+        _pick_rows_beam(b, beam_size, cfg.num_blocks, cfg.d_model, lp, tc,
+                        vp, cb, wb, dedup) > 0
+        for cb in cbs for dedup in (True, False)
     )
 
 
@@ -137,15 +169,15 @@ def _kernel(
     ln2g, ln2b,
     w1a, w1b_, b1a, b1b, w2, b2,
     ln3g, ln3b,
-    crossk, crossv,              # [n_cells, NB, Tc, R, Dp] HBM
-    cross_valid,                 # [Tc, R, 1] float
-    qzero,                       # [1, R, 1] float
-    row_pad,                     # [1, R, 1] float (pad GROUPS: born finished)
-    tok_out,                     # out: [R, Lp] int32
+    crossk, crossv,              # [n_cells, NB, Tc, Gc, Dp] HBM (per UTTERANCE)
+    cross_valid,                 # [Tc, Gc, 1] float
+    qzero,                       # [1, Gc, 1] float
+    row_pad,                     # [1, Gc, 1] float (pad GROUPS: born finished)
+    tok_out,                     # out: [R, Lp] int32 (beam-major rows q*Gc+g)
     score_out,                   # out: [R, 1] f32
     tok_hist,                    # scratch [R, Lp] int32
     kself, vself,                # scratch [NB, Lp, R, D] cache dtype
-    crossk_v, crossv_v,          # scratch [NB, Tc, R, Dp] cache dtype
+    crossk_v, crossv_v,          # scratch [NB, Tc, Gc, Dp] cache dtype
     sem_k, sem_v,
     *,
     n_blocks: int,
@@ -156,6 +188,7 @@ def _kernel(
     bos_id: int,
     eos_id: int,
     pad_id: int,
+    dedup: bool,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -170,25 +203,32 @@ def _kernel(
     n_self_segs = lp // SEG
     n_cross_segs = tc // SEG
     kb = k_beams
+    gc = r // kb  # utterance groups per cell (rows are BEAM-MAJOR: q*Gc + g)
 
     # ---- iotas (built once; Mosaic hoists loop-invariant constants) --------
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) % kb       # [R, 1]
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0) // gc      # [R, 1]
     lane_v = jax.lax.broadcasted_iota(jnp.int32, (r, vp), 1)           # [R, Vp]
     fidx = q_iota * vp + lane_v                                        # [R, Vp]
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (r, lp), 1)           # [R, Lp]
     col3 = jax.lax.broadcasted_iota(jnp.int32, (SEG, r, 1), 0)
 
+    def tile_beams(x, axis):
+        """dedup mode: [.., Gc, ..] per-utterance values → [.., K·Gc, ..]
+        beam-major.  Dup mode (Gc < 8 would break the blocked-sublane law):
+        arrays arrive pre-tiled rows-wide from the host — identity."""
+        if not dedup:
+            return x
+        return jnp.concatenate([x] * kb, axis=axis)
+
     # ---- group-local cyclic shifts ------------------------------------------
     def group_roll(x, o, axis):
-        """x with rows shifted o within each K-row group (cyclic):
-        out[.., g*K + q, ..] = x[.., g*K + (q+o) % K, ..]."""
+        """x with the BEAM index shifted o within each utterance group
+        (cyclic): out[.., q*Gc + g, ..] = x[.., ((q+o) % K)*Gc + g, ..].
+        Beam-major rows make this ONE global sublane roll."""
         if o == 0:
             return x
         n = x.shape[axis]
-        a = pltpu.roll(x, n - o, axis=axis)       # out[i] = x[i + o]
-        b = pltpu.roll(x, kb - o, axis=axis)      # out[i] = x[i + o - K]
-        qv = q_iota if x.ndim == 2 else q_iota[None]
-        return jnp.where(qv < kb - o, a, b)
+        return pltpu.roll(x, n - o * gc, axis=axis)  # out[i] = x[(i + o*Gc) % n]
 
     def group_sel(x, off, axis):
         """out[row] = x[parent_row] where parent = group row (q + off) % K;
@@ -328,12 +368,20 @@ def _kernel(
 
             qc = rope(jnp.dot(x, wcq[b], preferred_element_type=jnp.float32),
                       cos_c, sin_c, evenm_c) * scale
-            qc = jnp.where(qzero[0] > 0, 0.0, qc)
+            qc = jnp.where(tile_beams(qzero[0], 0) > 0, 0.0, qc)
             carry_c = flash_init(dp)
             for si_ in range(n_cross_segs):
-                kseg = crossk_v[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                vseg = crossv_v[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                valid = cross_valid[si_ * SEG:(si_ + 1) * SEG] > 0
+                # cross K/V are beam-invariant: the scratch holds Gc
+                # utterance rows; tile across the K beams in-register
+                kseg = tile_beams(
+                    crossk_v[b, si_ * SEG:(si_ + 1) * SEG], 1
+                ).astype(jnp.float32)
+                vseg = tile_beams(
+                    crossv_v[b, si_ * SEG:(si_ + 1) * SEG], 1
+                ).astype(jnp.float32)
+                valid = tile_beams(
+                    cross_valid[si_ * SEG:(si_ + 1) * SEG], 1
+                ) > 0
                 carry_c = flash_segment(qc, kseg, vseg, valid, carry_c,
                                         ones_ref=onesb_c)
             _, den, acc = carry_c
@@ -414,7 +462,7 @@ def _kernel(
 
     init = (
         jnp.int32(0),
-        row_pad[0].astype(jnp.int32),                          # [R, 1]
+        tile_beams(row_pad[0], 0).astype(jnp.int32),           # [R, 1]
         jnp.full((r, 1), bos_id, jnp.int32),
         jnp.where(q_iota == 0, 0.0, NEG_INF),                  # only slot 0 live
     )
@@ -554,7 +602,8 @@ def fused_beam_search_decode(
     onesb_c = jnp.asarray(_ones_block(dpad, dh))
     k_perm = None if rot_dim == dh else _rope_inplace_perm(d, dh, rot_dim)
 
-    # ---- cross caches: built per UTTERANCE, repeated across the K beams -----
+    # ---- cross caches: ONE copy per utterance (beams share them — the
+    # kernel tiles across the K beam rows at use) ----------------------------
     cks, cvs = [], []
     for blk in blocks:
         mha = {k_: deq(v_) for k_, v_ in blk["cross_attention"]["mha"].items()}
@@ -563,8 +612,7 @@ def fused_beam_search_decode(
             a = cc[kk].reshape(batch_g, d, t_enc)
             if kk == "k" and k_perm is not None:
                 a = a[:, k_perm, :]
-            a = jnp.repeat(a, kb, axis=0)        # beam-fold rows
-            a = a.transpose(2, 0, 1)             # [T, F, D]
+            a = a.transpose(2, 0, 1)             # [T, G, D]
             arrs.append(jnp.pad(a, [(0, tc - t_enc), (0, 0), (0, dpad - d)]))
     crossk_f = jnp.stack(cks)
     crossv_f = jnp.stack(cvs)
@@ -580,13 +628,9 @@ def fused_beam_search_decode(
         base = jnp.pad(em, [(0, 0), (0, tc - t_enc)])
         cross_valid = jnp.where(empty[:, None], cols < t_enc, base)
         qzero = empty.astype(jnp.float32)
-    cross_valid = jnp.repeat(cross_valid, kb, axis=0)
-    qzero = jnp.repeat(qzero, kb, axis=0)
-    cross_valid_t = cross_valid.astype(jnp.float32).T[:, :, None]
-    qzero_t = qzero[None, :, None]
-    row_pad_t = jnp.repeat(
-        (jnp.arange(batch_g) >= true_batch).astype(jnp.float32), kb
-    )[None, :, None]
+    cross_valid_t = cross_valid.astype(jnp.float32).T[:, :, None]   # [Tc, G, 1]
+    qzero_t = qzero[None, :, None]                                  # [1, G, 1]
+    row_pad_t = (jnp.arange(batch_g) >= true_batch).astype(jnp.float32)[None, :, None]
 
     # ---- dtype + cell grouping ----------------------------------------------
     weight_arrays = [emb_p, cls_w, ones_vp, onesb, onesb_c,
@@ -597,9 +641,9 @@ def fused_beam_search_decode(
     if cache_dtype is None and rows_per_cell is None:
         ladder = [(None, 4), ("bfloat16", 2)]
         rows_by = [
-            (_pick_rows(flat, nb, d, lp, tc, bytes_, weight_bytes,
-                        row_multiple=mult,
-                        extra_per_row_bytes=_beam_extra_per_row(lp, vp)), name)
+            (max(_pick_rows_beam(flat, kb, nb, d, lp, tc, vp, bytes_,
+                                 weight_bytes, dd) for dd in (True, False)),
+             name)
             for name, bytes_ in ladder
         ]
         best_rows = max(rw for rw, _ in rows_by)
@@ -609,10 +653,19 @@ def fused_beam_search_decode(
                 break
     cdtype = jnp.dtype(cache_dtype) if cache_dtype else jnp.dtype("float32")
 
-    rows = rows_per_cell or _pick_rows(
-        flat, nb, d, lp, tc, cdtype.itemsize, weight_bytes,
-        row_multiple=mult, extra_per_row_bytes=_beam_extra_per_row(lp, vp),
-    )
+    # Prefer the deduped cross layout (K× smaller scratch + DMA) whenever it
+    # reaches the same cell size; the duplicated layout covers Gc < 8 cells
+    # (the blocked-sublane law forbids sub-8 cross rows per cell).
+    rows_dedup = _pick_rows_beam(flat, kb, nb, d, lp, tc, vp,
+                                 cdtype.itemsize, weight_bytes, True)
+    rows_dup = _pick_rows_beam(flat, kb, nb, d, lp, tc, vp,
+                               cdtype.itemsize, weight_bytes, False)
+    if rows_per_cell is not None:
+        rows = rows_per_cell
+        dedup = rows % (8 * kb) == 0 and rows // kb >= 8
+    else:
+        dedup = rows_dedup >= rows_dup
+        rows = rows_dedup if dedup else rows_dup
     if rows == 0:
         raise ValueError(
             f"fused beam decode does not fit VMEM: d_model={d} K={kb} "
@@ -621,15 +674,35 @@ def fused_beam_search_decode(
         )
     assert flat % rows == 0 and rows % kb == 0
     n_cells = flat // rows
+    gc = rows // kb  # utterance groups per cell
+    cross_rows = gc if dedup else rows
 
     crossk_f = crossk_f.astype(cdtype)
     crossv_f = crossv_f.astype(cdtype)
 
     def cell_major(a):
-        return jnp.moveaxis(a.reshape(nb, tc, n_cells, rows, dpad), 2, 0)
+        # [NB, Tc, G, Dp] → [n_cells, NB, Tc, Gc, Dp]; dup mode pre-tiles
+        # each cell's Gc utterance rows K times in the kernel's beam-major
+        # row order (q*Gc + g)
+        a = jnp.moveaxis(a.reshape(nb, tc, n_cells, gc, dpad), 2, 0)
+        if not dedup:
+            a = jnp.concatenate([a] * kb, axis=3)
+        return a
 
     crossk = cell_major(crossk_f)
     crossv = cell_major(crossv_f)
+
+    if not dedup:
+        # per-row side inputs also go rows-wide, beam-major per cell
+        def tile_rows_host(x):  # [.., G, 1] → [.., n_cells*rows, 1]
+            t_, _, _ = x.shape
+            xc = x.reshape(t_, n_cells, gc, 1)
+            xc = jnp.concatenate([xc] * kb, axis=2)
+            return xc.reshape(t_, flat, 1)
+
+        cross_valid_t = tile_rows_host(cross_valid_t)
+        qzero_t = tile_rows_host(qzero_t)
+        row_pad_t = tile_rows_host(row_pad_t)
 
     def const(shape):
         nd = len(shape)
@@ -650,9 +723,12 @@ def fused_beam_search_decode(
         const(ln3g.shape), const(ln3b.shape),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
-        pl.BlockSpec((tc, rows, 1), lambda c: (0, c, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, rows, 1), lambda c: (0, c, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tc, cross_rows, 1), lambda c: (0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cross_rows, 1), lambda c: (0, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cross_rows, 1), lambda c: (0, c, 0),
+                     memory_space=pltpu.VMEM),
     ]
 
     kernel = functools.partial(
@@ -665,6 +741,7 @@ def fused_beam_search_decode(
         bos_id=bos_id,
         eos_id=eos_id,
         pad_id=pad_id,
+        dedup=dedup,
     )
 
     tokens2, scores2 = pl.pallas_call(
@@ -683,8 +760,8 @@ def fused_beam_search_decode(
             pltpu.VMEM((rows, lp), jnp.int32),
             pltpu.VMEM((nb, lp, rows, d), cdtype),
             pltpu.VMEM((nb, lp, rows, d), cdtype),
-            pltpu.VMEM((nb, tc, rows, dpad), cdtype),
-            pltpu.VMEM((nb, tc, rows, dpad), cdtype),
+            pltpu.VMEM((nb, tc, cross_rows, dpad), cdtype),
+            pltpu.VMEM((nb, tc, cross_rows, dpad), cdtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -702,7 +779,13 @@ def fused_beam_search_decode(
         crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
     )
 
-    tokens = tokens2.reshape(batch_g, kb, lp)[:true_batch]
+    # un-permute the beam-major cell rows (cell*R + q*Gc + g) back to
+    # utterance-major [G, K, ...]
+    tokens = jnp.transpose(
+        tokens2.reshape(n_cells, kb, gc, lp), (0, 2, 1, 3)
+    ).reshape(batch_g, kb, lp)[:true_batch]
     generated = tokens[:, :, 1:max_length + 1]
-    scores = scores2.reshape(batch_g, kb)[:true_batch]
+    scores = jnp.transpose(
+        scores2.reshape(n_cells, kb, gc), (0, 2, 1)
+    ).reshape(batch_g, kb)[:true_batch]
     return generated, scores

@@ -121,3 +121,20 @@ def test_supported_and_fits_laws():
     assert not fused_beam_supported(cfg, 1)
     assert fused_beam_fits(cfg, 4, 4, 16, 16, vocab=96)
     assert not fused_beam_fits(cfg, 4096, 16, 4096, 4096, vocab=96)
+
+
+def test_fused_beam_dedup_cross_matches_dup():
+    """Deduped cross layout (Gc>=8 whole-cell) == duplicated layout == XLA:
+    the beam-invariant cross K/V stored once per utterance and tiled
+    in-kernel must not change any beam."""
+    model, params = tiny_model()
+    enc, mask = encodings(model, params, batch=8, t_enc=9, seed=11)
+    k, L = 4, 8
+    g_dd, s_dd = run_fused(model, params, enc, mask, k, L, rows_per_cell=32)
+    g_dp, s_dp = run_fused(model, params, enc, mask, k, L, rows_per_cell=8)
+    np.testing.assert_array_equal(np.asarray(g_dd), np.asarray(g_dp))
+    np.testing.assert_allclose(np.asarray(s_dd), np.asarray(s_dp), rtol=1e-5, atol=1e-5)
+    t_f, s_f = best_of(g_dd, s_dd)
+    t_x, s_x = xla_all_beams(model, params, enc, mask, k, L)
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_x))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), rtol=2e-5, atol=2e-5)
