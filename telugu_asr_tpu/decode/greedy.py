@@ -108,6 +108,9 @@ def greedy_decode(
     cache_dtype: Optional[str] = None,
     cross_cache_dtype: Optional[str] = None,
     attention_impl: Optional[str] = None,
+    forced_prefix: Optional[jnp.ndarray] = None,
+    forced_length=None,
+    max_new_tokens: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
 
@@ -119,9 +122,22 @@ def greedy_decode(
     reads, the portable reference and CPU default), "tiled" (opt-in Pallas
     prefix-read attention; see :func:`_resolve_attention_impl`), or
     None/"auto".
+
+    ``forced_prefix [B, P]`` (with dynamic ``forced_length`` ≤ P; PAD beyond
+    each row's prefix, no EOS inside) teacher-forces the first tokens: the
+    prefix KV cache builds in ONE batched ``decoder_prefill`` pass and the
+    sequential loop starts at ``forced_length`` — the streaming recognizer's
+    partial-tick fast path (per-tick sequential work drops from O(total
+    tokens) to O(new tokens)).  A forced decode equals feeding the same
+    prefix through the unforced loop (tested).  XLA path only; combine with
+    ``max_new_tokens`` to bound the continuation.
     """
     cfg = model.cfg.decoder
+    if forced_prefix is not None and attention_impl in (None, "auto"):
+        attention_impl = "xla"  # prefill lives on the einsum cache layout
     impl = _resolve_attention_impl(attention_impl, cfg)
+    if forced_prefix is not None and impl != "xla":
+        raise ValueError("forced_prefix requires attention_impl='xla'")
     if impl == "fused" and attention_impl in (None, "auto"):
         # Auto-selected fused must also FIT: larger HPO d_models with long
         # caps can exceed the VMEM-resident budget — fall back to XLA there
@@ -231,9 +247,34 @@ def greedy_decode(
     tokens0 = tokens0.at[:, 0].set(bos_id)
     finished0 = jnp.zeros((batch,), bool)
 
+    step0 = jnp.int32(0)
+    step_cap = jnp.int32(max_length)
+    if forced_prefix is not None:
+        from telugu_asr_tpu.models.moonshine.decoder import decoder_prefill
+
+        p = int(forced_prefix.shape[1])
+        if forced_length is None:
+            forced_length = p
+        forced_length = jnp.asarray(forced_length, jnp.int32)
+        tokens0 = jax.lax.dynamic_update_slice(
+            tokens0, forced_prefix.astype(jnp.int32), (0, 1)
+        )
+        # Prefill positions 0..P-1 (BOS + prefix[:-1]); PAD slots beyond each
+        # row's true length are written but masked out by the key-valid law,
+        # and the loop overwrites them column-by-column as it advances.
+        embedded = model.embed(params, tokens0[:, :p])
+        _, cache = decoder_prefill(
+            params["decoder"], cfg, embedded, cache,
+            key_valid_mask=tokens0 != pad_id,
+            encoder_mask=cross_mask,
+        )
+        step0 = forced_length
+    if max_new_tokens is not None:
+        step_cap = jnp.minimum(step_cap, step0 + jnp.int32(max_new_tokens))
+
     def cond(carry):
         step, tokens, finished, cache = carry
-        return (step < max_length) & ~jnp.all(finished)
+        return (step < step_cap) & ~jnp.all(finished)
 
     def body(carry):
         step, tokens, finished, cache = carry
@@ -279,7 +320,7 @@ def greedy_decode(
         return step + 1, tokens, finished, cache
 
     _, tokens, finished, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens0, finished0, cache)
+        cond, body, (step0, tokens0, finished0, cache)
     )
     generated = tokens[:, 1 : max_length + 1]  # strip the BOS slot
     # length = up to and including the first EOS; max_length if none emitted

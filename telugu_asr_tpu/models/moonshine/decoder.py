@@ -36,6 +36,7 @@ __all__ = [
     "decoder_apply",
     "decoder_init_cache",
     "decoder_step",
+    "decoder_prefill",
     "decoder_init_cache_tiled",
     "decoder_step_tiled",
 ]
@@ -200,6 +201,74 @@ def decoder_step(
             kv_positions=positions,
             cache=bcache["self"],
             cache_index=step,
+        )
+        x = layer_norm(block["masked_mhsa"]["ln"], x + attn)
+        x = cross_attention_module_apply(
+            block["cross_attention"],
+            x,
+            None,
+            cfg.num_heads,
+            key_value_mask=encoder_mask,
+            q_positions=positions,
+            cross_cache=bcache["cross"],
+        )
+        x = ffn_module_apply(block["ffn"], x, cfg.activation)
+        new_blocks.append({"self": new_self, "cross": bcache["cross"]})
+    return x, {"blocks": new_blocks}
+
+
+def decoder_prefill(
+    params: dict,
+    cfg: DecoderConfig,
+    embedded_prefix: jnp.ndarray,
+    cache: dict,
+    *,
+    key_valid_mask: Optional[jnp.ndarray] = None,
+    encoder_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, dict]:
+    """Teacher-forced cache PREFILL: write the self-attention K/V columns for
+    positions ``0..P-1`` in ONE batched pass instead of P sequential
+    :func:`decoder_step` calls.
+
+    The streaming recognizer's partial ticks seed the decode with the
+    previous tick's transcript (serving/streaming.py): the prefix tokens are
+    already known, so their cache build is a teacher-forced forward — a
+    batched MXU matmul per block — after which the sequential loop only runs
+    for NEW tokens.  Math per position is identical to decoder_step (same
+    mha_apply cache write, causal+validity mask), so a decode continued from
+    a prefill equals one continued from stepped prefix feeding (tested).
+
+    Args:
+      embedded_prefix: ``[B, P, d]`` embeddings of positions ``0..P-1``
+        (BOS + forced tokens; PAD beyond each row's true prefix).
+      cache: from :func:`decoder_init_cache` (XLA layout).
+      key_valid_mask: ``[B, Umax]`` bool over CACHE columns (True = non-PAD),
+        same law as decoder_step.
+
+    Returns ``(decoder_out [B, P, d], updated cache)`` — outputs are normally
+    discarded (the continuation loop re-feeds the last prefix token).
+    """
+    x = embedded_prefix
+    b, p, _ = x.shape
+    max_len = cache["blocks"][0]["self"]["k"].shape[-1]
+    rows = jnp.arange(p)[:, None]
+    cols = jnp.arange(max_len)[None, :]
+    attend = (cols <= rows)[None, None]  # causal over cache cols [1,1,P,Umax]
+    if key_valid_mask is not None:
+        attend = attend & key_valid_mask[:, None, None, :]
+    positions = jnp.arange(p)
+    new_blocks = []
+    for block, bcache in zip(params["blocks"], cache["blocks"]):
+        attn, new_self = mha_apply(
+            block["masked_mhsa"]["mha"],
+            x,
+            x,
+            cfg.num_heads,
+            mask=attend,
+            q_positions=positions,
+            kv_positions=positions,
+            cache=bcache["self"],
+            cache_index=jnp.int32(0),
         )
         x = layer_norm(block["masked_mhsa"]["ln"], x + attn)
         x = cross_attention_module_apply(

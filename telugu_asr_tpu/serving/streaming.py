@@ -8,11 +8,20 @@ were trained for.  Instead of silently changing the model, this recognizer
 re-runs the (fast) full pipeline over ALL audio buffered so far at each
 partial-result tick — the standard growing-window scheme:
 
-* ``accept(chunk)`` buffers host audio; when at least ``partial_interval``
-  seconds arrived since the last tick it runs featurize → encode → fused
-  greedy decode over the padded buffer and returns a PARTIAL transcript
-  (partials may revise as right-context grows — inherent to a
-  bidirectional model, not an implementation artifact).
+* ``accept(chunk)`` buffers audio DEVICE-resident (each chunk ships once —
+  the growing buffer is never re-transferred, which matters on tunnel-
+  attached chips); when at least ``partial_interval`` seconds arrived since
+  the last tick it runs featurize → encode → greedy decode over the padded
+  buffer and returns a PARTIAL transcript (partials may revise as
+  right-context grows — inherent to a bidirectional model, not an
+  implementation artifact).
+* Partial ticks seed the decode with the PREVIOUS tick's tokens (minus a
+  revisable tail of ``prefix_trim``) as a teacher-forced prefix: the prefix
+  KV cache builds in one batched ``decoder_prefill`` pass and the
+  sequential loop only decodes NEW tokens (bounded by ``partial_max_new``)
+  — per-tick sequential work is O(new tokens), not O(all tokens so far).
+  Partials are approximations by nature (see above); the forced prefix only
+  locks in tokens the previous tick already showed the user.
 * ``finalize()`` runs the same pipeline once over the exact buffered audio
   and is IDENTICAL to offline :func:`telugu_asr_tpu.decode.greedy.recognize`
   on the full signal (tested) — padding to a bucket is invisible because
@@ -36,6 +45,7 @@ from __future__ import annotations
 import bisect
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +81,9 @@ class StreamingRecognizer:
         buckets_seconds: Tuple[float, ...] = DEFAULT_BUCKETS_SECONDS,
         attention_impl: Optional[str] = None,
         decode_params: Optional[dict] = None,
+        prefix_trim: int = 4,
+        partial_max_new: int = 64,
+        prefix_quantum: int = 32,
     ):
         self.model = model
         self.params = params
@@ -85,15 +98,19 @@ class StreamingRecognizer:
             int(round(s * sample_rate)) for s in buckets_seconds
         )
         self.attention_impl = attention_impl
+        self.prefix_trim = int(prefix_trim)
+        self.partial_max_new = int(partial_max_new)
+        self.prefix_quantum = int(prefix_quantum)
         self.reset()
 
     # -- lifecycle -----------------------------------------------------------
 
     def reset(self) -> None:
-        self._chunks: List[np.ndarray] = []
+        self._dev_audio = None  # [1, bucket] device-resident, zero-padded
         self._num_samples = 0
         self._since_tick = 0
         self._last_partial = ""
+        self._last_ids: List[int] = []
 
     @property
     def buffered_seconds(self) -> float:
@@ -104,14 +121,31 @@ class StreamingRecognizer:
     def accept(self, chunk: np.ndarray) -> Optional[str]:
         """Buffer an audio chunk; returns a partial transcript on ticks."""
         chunk = np.asarray(chunk, np.float32).reshape(-1)
-        self._chunks.append(chunk)
-        self._num_samples += chunk.size
+        self._append_device(chunk)
         self._since_tick += chunk.size
         if self._since_tick < self.partial_interval * self.sample_rate:
             return None
         self._since_tick = 0
         self._last_partial = self._recognize_buffer()
         return self._last_partial
+
+    def _append_device(self, chunk: np.ndarray) -> None:
+        """Ship ONLY the new chunk to the device and splice it into the
+        bucket-padded resident buffer (old audio never re-crosses the host
+        link; re-bucketing pads on device)."""
+        n = self._num_samples
+        new_n = n + chunk.size
+        bucket = self._bucket(max(new_n, 1))
+        if self._dev_audio is None:
+            buf = jnp.zeros((1, bucket), jnp.float32)
+        elif bucket != self._dev_audio.shape[1]:
+            buf = jnp.pad(self._dev_audio, ((0, 0), (0, bucket - self._dev_audio.shape[1])))
+        else:
+            buf = self._dev_audio
+        self._dev_audio = jax.lax.dynamic_update_slice(
+            buf, jnp.asarray(chunk, jnp.float32)[None, :], (0, n)
+        )
+        self._num_samples = new_n
 
     def partial(self) -> str:
         """Latest partial transcript (may be stale; force with accept ticks)."""
@@ -137,13 +171,8 @@ class StreamingRecognizer:
         return -(-n // top) * top
 
     def _recognize_buffer(self, exact_cap: bool = False) -> str:
-        audio = np.concatenate(self._chunks) if len(self._chunks) > 1 else self._chunks[0]
-        self._chunks = [audio]  # keep the buffer flat
-        n = audio.size
-        padded = self._bucket(n)
-        signal = jnp.asarray(
-            np.pad(audio, (0, padded - n))[None, :]
-        )
+        n = self._num_samples
+        signal = self._dev_audio  # [1, bucket], zero-padded past n
         lengths = jnp.asarray([n], jnp.int32)
         feats, feat_lengths = self.featurizer(signal, lengths)
         # ``max_length`` is a static jit arg of greedy_decode, so partial
@@ -151,7 +180,7 @@ class StreamingRecognizer:
         # programs stay bounded by the bucket ladder instead of retracing on
         # every tick's true sample count.  finalize() uses the exact
         # true-frame cap, where offline parity is required.
-        cap_frames = self.featurizer.get_nframes(n if exact_cap else padded)
+        cap_frames = self.featurizer.get_nframes(n if exact_cap else int(signal.shape[1]))
         max_length = default_max_length(
             int(cap_frames),
             frame_step=self.featurizer.config.frame_step,
@@ -161,16 +190,43 @@ class StreamingRecognizer:
         encoder_out, encoder_mask = self.model.encode(
             self.params, feats, feat_lengths
         )
-        tokens, token_lengths = greedy_decode(
-            self.model,
-            self.decode_params,
-            encoder_out,
-            encoder_mask,
+        decode_kwargs = dict(
             max_length=max_length,
             bos_id=self.tokenizer.bos_token_id,
             eos_id=self.tokenizer.eos_token_id,
             pad_id=self.tokenizer.pad_token_id,
             attention_impl=self.attention_impl,
         )
+        if not exact_cap:
+            # Partial tick: teacher-force the previous tick's tokens (minus
+            # the revisable tail) as a prefix — one batched prefill pass —
+            # then decode at most ``partial_max_new`` NEW tokens.  The prefix
+            # width is bucketed to ``prefix_quantum`` so compiled programs
+            # stay bounded; ``forced_length`` carries the true length.
+            eos = self.tokenizer.eos_token_id
+            pad = self.tokenizer.pad_token_id
+            prefix = [t for t in self._last_ids if t != eos and t != pad]
+            prefix = prefix[: max(0, len(prefix) - self.prefix_trim)]
+            prefix = prefix[: max_length - 1]
+            q = self.prefix_quantum
+            p_pad = max(q, -(-(len(prefix)) // q) * q) if prefix else 0
+            p_pad = min(p_pad, max_length)
+            if p_pad:
+                forced = np.full((1, p_pad), self.tokenizer.pad_token_id, np.int32)
+                forced[0, : len(prefix)] = prefix
+                decode_kwargs.update(
+                    forced_prefix=jnp.asarray(forced),
+                    forced_length=jnp.int32(len(prefix)),
+                )
+            decode_kwargs.update(max_new_tokens=self.partial_max_new)
+        tokens, token_lengths = greedy_decode(
+            self.model,
+            self.decode_params,
+            encoder_out,
+            encoder_mask,
+            **decode_kwargs,
+        )
         ids = np.asarray(tokens)[0, : int(token_lengths[0])]
-        return self.tokenizer.decode([int(t) for t in ids], skip_special_tokens=True)
+        ids = [int(t) for t in ids]
+        self._last_ids = ids
+        return self.tokenizer.decode(ids, skip_special_tokens=True)

@@ -96,3 +96,132 @@ def test_two_utterances_same_compiled_shapes():
         sr.accept(a)
         outs.append(sr.finalize())
     assert all(isinstance(o, str) for o in outs)
+
+
+def test_decoder_prefill_matches_stepped_prefix():
+    """Batched decoder_prefill writes the same KV cache (and continued decode)
+    as feeding the prefix through sequential decoder_step calls."""
+    from telugu_asr_tpu.models.moonshine.decoder import (
+        decoder_init_cache,
+        decoder_prefill,
+        decoder_step,
+    )
+
+    model, params, feat, tok = _setup()
+    cfg = model.cfg.decoder
+    rng = np.random.default_rng(3)
+    b, t_enc, max_len, p = 2, 9, 12, 5
+    enc = jnp.asarray(rng.standard_normal((b, t_enc, cfg.d_model)), jnp.float32)
+    enc_mask = jnp.asarray(rng.integers(0, 2, (b, t_enc)).astype(bool) | True)
+    prefix = jnp.asarray(rng.integers(3, model.cfg.vocab_size, (b, p)), jnp.int32)
+    key_valid = jnp.ones((b, max_len + 1), bool)
+
+    cache_a = decoder_init_cache(params["decoder"], cfg, enc, max_len + 1)
+    emb = model.embed(params, prefix)
+    _, cache_a = decoder_prefill(
+        params["decoder"], cfg, emb, cache_a,
+        key_valid_mask=key_valid, encoder_mask=enc_mask,
+    )
+
+    cache_b = decoder_init_cache(params["decoder"], cfg, enc, max_len + 1)
+    for i in range(p):
+        step_emb = model.embed(params, prefix[:, i])[:, None, :]
+        _, cache_b = decoder_step(
+            params["decoder"], cfg, step_emb, cache_b, jnp.int32(i),
+            key_valid_mask=key_valid, encoder_mask=enc_mask,
+        )
+
+    for blk_a, blk_b in zip(cache_a["blocks"], cache_b["blocks"]):
+        np.testing.assert_allclose(
+            np.asarray(blk_a["self"]["k"][..., :p]),
+            np.asarray(blk_b["self"]["k"][..., :p]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(blk_a["self"]["v"][..., :p]),
+            np.asarray(blk_b["self"]["v"][..., :p]), atol=1e-5)
+
+
+def test_forced_prefix_decode_matches_unforced():
+    """Forcing the tokens an unforced decode emits reproduces its
+    continuation exactly (same argmax stream)."""
+    model, params, feat, tok = _setup()
+    rng = np.random.default_rng(4)
+    audio = (rng.standard_normal(int(0.9 * 16000)) * 0.1).astype(np.float32)
+    signal = jnp.asarray(audio[None, :])
+    feats, flen = feat(signal, jnp.asarray([audio.size], jnp.int32))
+    enc, mask = model.encode(params, feats, flen)
+    max_length = default_max_length(int(feats.shape[1]))
+
+    free, free_len = greedy_decode(
+        model, params, enc, mask, max_length=max_length,
+        bos_id=tok.bos_token_id, eos_id=tok.eos_token_id,
+        pad_id=tok.pad_token_id, attention_impl="xla",
+    )
+    free = np.asarray(free)
+    n = int(free_len[0])
+    p = max(1, n // 2)
+    # PAD-padded forced prefix wider than the true length (streaming layout)
+    p_pad = min(max_length, p + 3)
+    forced = np.full((1, p_pad), tok.pad_token_id, np.int32)
+    forced[0, :p] = free[0, :p]
+    got, got_len = greedy_decode(
+        model, params, enc, mask, max_length=max_length,
+        bos_id=tok.bos_token_id, eos_id=tok.eos_token_id,
+        pad_id=tok.pad_token_id,
+        forced_prefix=jnp.asarray(forced), forced_length=jnp.int32(p),
+    )
+    np.testing.assert_array_equal(np.asarray(got), free)
+    assert int(got_len[0]) == n
+
+
+def test_forced_prefix_max_new_budget():
+    """max_new_tokens bounds the continuation; emitted tokens match the
+    unforced stream up to the budget."""
+    model, params, feat, tok = _setup()
+    rng = np.random.default_rng(5)
+    audio = (rng.standard_normal(int(0.9 * 16000)) * 0.1).astype(np.float32)
+    signal = jnp.asarray(audio[None, :])
+    feats, flen = feat(signal, jnp.asarray([audio.size], jnp.int32))
+    enc, mask = model.encode(params, feats, flen)
+    max_length = default_max_length(int(feats.shape[1]))
+
+    free, _ = greedy_decode(
+        model, params, enc, mask, max_length=max_length,
+        bos_id=tok.bos_token_id, eos_id=tok.eos_token_id,
+        pad_id=tok.pad_token_id, attention_impl="xla",
+    )
+    free = np.asarray(free)
+    p, budget = 2, 3
+    forced = jnp.asarray(free[:, :p])
+    got, _ = greedy_decode(
+        model, params, enc, mask, max_length=max_length,
+        bos_id=tok.bos_token_id, eos_id=tok.eos_token_id,
+        pad_id=tok.pad_token_id,
+        forced_prefix=forced, forced_length=jnp.int32(p),
+        max_new_tokens=budget,
+    )
+    got = np.asarray(got)
+    np.testing.assert_array_equal(got[:, : p + budget], free[:, : p + budget])
+    # beyond the budget nothing was emitted
+    assert (got[:, p + budget:] == tok.pad_token_id).all()
+
+
+def test_streaming_partials_use_prefix_and_finalize_exact():
+    """End-to-end: partial ticks (forced-prefix fast path) produce strings
+    and finalize stays EXACTLY equal to the offline recognize."""
+    model, params, feat, tok = _setup()
+    rng = np.random.default_rng(6)
+    audio = (rng.standard_normal(int(2.1 * 16000)) * 0.1).astype(np.float32)
+    sr = StreamingRecognizer(
+        model, params, feat, tok, partial_interval=0.5,
+        prefix_trim=2, partial_max_new=16,
+    )
+    partials = []
+    for off in range(0, audio.size, 3200):
+        out = sr.accept(audio[off : off + 3200])
+        if out is not None:
+            partials.append(out)
+    assert len(partials) >= 3
+    assert all(isinstance(s, str) for s in partials)
+    got = sr.finalize()
+    want = _offline(model, params, feat, tok, audio)
+    assert got == want
