@@ -186,6 +186,12 @@ def beam_search_decode(
             f"unknown attention_impl {attention_impl!r}; "
             "expected None, 'auto', 'xla', or 'fused'"
         )
+    from telugu_asr_tpu.ops.pallas.decode_fused import tree_fully_quantized
+
+    quantized = tree_fully_quantized(
+        params["decoder"], params["text_embedding"]["table"],
+        params["classifier"]["kernel"],
+    )
     impl = attention_impl if attention_impl in ("xla", "fused") else None
     if impl is None:
         from telugu_asr_tpu.ops.pallas.decode_fused_beam import fused_beam_fits
@@ -196,9 +202,17 @@ def beam_search_decode(
             and fused_beam_fits(
                 cfg, encoder_out.shape[0], beam_size, encoder_out.shape[1],
                 max_length, vocab=model.cfg.vocab_size,
-                cache_dtype=cache_dtype,
+                cache_dtype=cache_dtype, quantized=quantized,
             )
         ) else "xla"
+    if impl == "xla":
+        # the XLA while_loop path computes in float: restore floats once
+        # (jit-safe, covers partially quantized trees too); the fused kernel
+        # serves a fully int8 tree directly
+        from telugu_asr_tpu.ops.quant import dequantize_pytree, pytree_has_quantized
+
+        if pytree_has_quantized(params):
+            params = dequantize_pytree(params)
     if impl == "fused":
         from telugu_asr_tpu.ops.pallas.decode_fused_beam import (
             fused_beam_search_decode,

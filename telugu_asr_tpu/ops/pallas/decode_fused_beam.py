@@ -82,14 +82,20 @@ NEG_INF = -1e9  # decode/beam.py score floor (NOT the mask bias)
 BIG_IDX = np.int32(2 ** 30)
 
 
+def _next_pow2(k: int) -> int:
+    p = 1
+    while p < k:
+        p *= 2
+    return p
+
+
 def fused_beam_supported(cfg, beam_size: int) -> bool:
-    """Structural preconditions: greedy kernel support + power-of-two K."""
-    return (
-        fused_supported(cfg)
-        and beam_size >= 2
-        and (beam_size & (beam_size - 1)) == 0
-        and beam_size <= 16
-    )
+    """Structural preconditions: greedy kernel support + 2 ≤ K ≤ 16.
+
+    Non-power-of-two widths run on the next power-of-two row layout with
+    dead tail slots (killed every step — exact width-K semantics); the VMEM
+    fit laws charge the padded width."""
+    return fused_supported(cfg) and 2 <= beam_size <= 16
 
 
 def _lcm8(k: int) -> int:
@@ -133,19 +139,26 @@ def _pick_rows_beam(flat: int, kb: int, n_blocks: int, d: int, lp: int,
 
 def fused_beam_fits(cfg, batch: int, beam_size: int, t_enc: int,
                     max_length: int, vocab: int = 256,
-                    cache_dtype: Optional[str] = None) -> bool:
-    """Would any whole-group cell fit VMEM? (auto-resolve fallback check)"""
+                    cache_dtype: Optional[str] = None,
+                    quantized: bool = False) -> bool:
+    """Would any whole-group cell fit VMEM? (auto-resolve fallback check)
+
+    ``quantized``: int8-resident weights — ~4× less weight VMEM, so int8
+    trees fit strictly more (K, cap) points than float ones."""
     if not fused_beam_supported(cfg, beam_size):
         return False
+    kb = _next_pow2(beam_size)
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
-    mult = _lcm8(beam_size)
-    b = _round_up(max(batch, 1) * beam_size, mult)
+    mult = _lcm8(kb)
+    b = _round_up(max(batch, 1), mult // kb) * kb
     vp = _round_up(vocab, LANE_TILE)
     wb = 48 * cfg.d_model * cfg.d_model * cfg.num_blocks
+    if quantized:
+        wb = wb // 4 + 12 * cfg.d_model * cfg.num_blocks * 4  # q8 + f32 scales
     cbs = (jnp.dtype(cache_dtype).itemsize,) if cache_dtype else (2, 4)
     return any(
-        _pick_rows_beam(b, beam_size, cfg.num_blocks, cfg.d_model, lp, tc,
+        _pick_rows_beam(b, kb, cfg.num_blocks, cfg.d_model, lp, tc,
                         vp, cb, wb, dedup) > 0
         for cb in cbs for dedup in (True, False)
     )
@@ -169,29 +182,51 @@ def _kernel(
     ln2g, ln2b,
     w1a, w1b_, b1a, b1b, w2, b2,
     ln3g, ln3b,
-    crossk, crossv,              # [n_cells, NB, Tc, Gc, Dp] HBM (per UTTERANCE)
-    cross_valid,                 # [Tc, Gc, 1] float
-    qzero,                       # [1, Gc, 1] float
-    row_pad,                     # [1, Gc, 1] float (pad GROUPS: born finished)
-    tok_out,                     # out: [R, Lp] int32 (beam-major rows q*Gc+g)
-    score_out,                   # out: [R, 1] f32
-    tok_hist,                    # scratch [R, Lp] int32
-    kself, vself,                # scratch [NB, Lp, R, D] cache dtype
-    crossk_v, crossv_v,          # scratch [NB, Tc, Gc, Dp] cache dtype
-    sem_k, sem_v,
-    *,
+    *rest,                       # (quantized) 11 per-channel weight scales;
+                                 # then crossk, crossv [n_cells, NB, Tc, Gc, Dp]
+                                 # HBM (per UTTERANCE), cross_valid [Tc, Gc, 1],
+                                 # qzero [1, Gc, 1], row_pad [1, Gc, 1] (pad
+                                 # GROUPS: born finished), outputs tok_out
+                                 # [R, Lp] int32 (beam-major rows q*Gc+g) +
+                                 # score_out [R, 1] f32, scratch tok_hist
+                                 # [R, Lp], kself/vself [NB, Lp, R, D],
+                                 # crossk_v/crossv_v [NB, Tc, Gc, Dp], 2 sems
     n_blocks: int,
     head_dim: int,
     k_beams: int,
+    k_true: int,
     max_length: int,
     vocab: int,
     bos_id: int,
     eos_id: int,
     pad_id: int,
     dedup: bool,
+    quantized: bool = False,
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    rest = list(rest)
+    (crossk, crossv, cross_valid, qzero, row_pad,
+     tok_out, score_out, tok_hist, kself, vself,
+     crossk_v, crossv_v, sem_k, sem_v) = rest[-14:]
+    if quantized:
+        # int8-resident serving (same law as decode_fused._kernel): matmul
+        # weights arrive int8 with per-output-channel scales; ``mmq``
+        # dequantizes at the use site — weights stay int8 in VMEM (~4× less
+        # weight VMEM, which is exactly what the K=8 VMEM-bound cells need).
+        (emb_s, cls_s, wq_s, wk_s, wv_s, wo_s, wcq_s, wco_s,
+         w1a_s, w1b_s, w2_s) = rest[:11]
+    else:
+        emb_s = cls_s = wq_s = wk_s = wv_s = wo_s = None
+        wcq_s = wco_s = w1a_s = w1b_s = w2_s = None
+
+    def mmq(x, ref, sref, b=None):
+        w = ref[:] if b is None else ref[b]
+        if quantized:
+            s = sref[:] if b is None else sref[b]
+            w = w.astype(jnp.float32) * s
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     r = tok_hist.shape[0]
     lp = tok_hist.shape[1]
@@ -329,8 +364,7 @@ def _kernel(
     def body(carry):
         s, finished, cur, scores = carry
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (r, vp), 1) == cur)
-        x = jnp.dot(onehot.astype(jnp.float32), emb[:],
-                    preferred_element_type=jnp.float32)
+        x = mmq(onehot.astype(jnp.float32), emb, emb_s)
 
         ang = s.astype(jnp.float32) * freq[:]
         cos, sin = jnp.cos(ang), jnp.sin(ang)
@@ -338,11 +372,9 @@ def _kernel(
         cos_c, sin_c = jnp.cos(ang_c), jnp.sin(ang_c)
 
         for b in range(n_blocks):
-            q = rope(jnp.dot(x, wq[b], preferred_element_type=jnp.float32),
-                     cos, sin, evenm) * scale
-            k = rope(jnp.dot(x, wk[b], preferred_element_type=jnp.float32),
-                     cos, sin, evenm)
-            v = jnp.dot(x, wv[b], preferred_element_type=jnp.float32)
+            q = rope(mmq(x, wq, wq_s, b), cos, sin, evenm) * scale
+            k = rope(mmq(x, wk, wk_s, b), cos, sin, evenm)
+            v = mmq(x, wv, wv_s, b)
             kself[b, pl.ds(s, 1)] = k[None].astype(kself.dtype)
             vself[b, pl.ds(s, 1)] = v[None].astype(vself.dtype)
 
@@ -362,12 +394,9 @@ def _kernel(
                 )
             _, den, acc = carry_a
             attn = acc[0] / den[0]
-            x = layer_norm(x + jnp.dot(attn, wo[b],
-                                       preferred_element_type=jnp.float32),
-                           ln1g[b], ln1b[b])
+            x = layer_norm(x + mmq(attn, wo, wo_s, b), ln1g[b], ln1b[b])
 
-            qc = rope(jnp.dot(x, wcq[b], preferred_element_type=jnp.float32),
-                      cos_c, sin_c, evenm_c) * scale
+            qc = rope(mmq(x, wcq, wcq_s, b), cos_c, sin_c, evenm_c) * scale
             qc = jnp.where(tile_beams(qzero[0], 0) > 0, 0.0, qc)
             carry_c = flash_init(dp)
             for si_ in range(n_cross_segs):
@@ -386,17 +415,14 @@ def _kernel(
                                         ones_ref=onesb_c)
             _, den, acc = carry_c
             cross = acc[0] / den[0]
-            x = layer_norm(x + jnp.dot(cross, wco[b],
-                                       preferred_element_type=jnp.float32),
-                           ln2g[b], ln2b[b])
+            x = layer_norm(x + mmq(cross, wco, wco_s, b), ln2g[b], ln2b[b])
 
-            ha = jnp.dot(x, w1a[b], preferred_element_type=jnp.float32) + b1a[b]
-            hb = jnp.dot(x, w1b_[b], preferred_element_type=jnp.float32) + b1b[b]
-            ffn = jnp.dot(ha * (hb * jax.nn.sigmoid(hb)), w2[b],
-                          preferred_element_type=jnp.float32) + b2[b]
+            ha = mmq(x, w1a, w1a_s, b) + b1a[b]
+            hb = mmq(x, w1b_, w1b_s, b) + b1b[b]
+            ffn = mmq(ha * (hb * jax.nn.sigmoid(hb)), w2, w2_s, b) + b2[b]
             x = layer_norm(x + ffn, ln3g[b], ln3b[b])
 
-        logits = jnp.dot(x, cls_w[:], preferred_element_type=jnp.float32) + cls_b[:]
+        logits = mmq(x, cls_w, cls_s) + cls_b[:]
 
         # ---- log-softmax over the REAL vocab lanes (pad bias -1e30 makes
         # pad lanes irrelevant for max; they are excluded from the sum) ----
@@ -434,6 +460,18 @@ def _kernel(
         # ---- adopt the parent's state --------------------------------------
         finished = group_sel(finished, off, axis=0)
         finished = jnp.maximum(finished, (new_cur == eos_id).astype(jnp.int32))
+        if k_true < kb:
+            # non-power-of-two beam widths run on the next power-of-two row
+            # layout with DEAD tail slots: they receive extraction winners
+            # K_true..kb-1 (the would-be over-width candidates) but are
+            # killed immediately — score floor so they never parent a future
+            # winner or win the final best-beam argmax, and born-finished so
+            # they cannot hold the early-exit condition open.  This emulates
+            # width-K_true exactly: each step keeps only the top K_true
+            # candidates alive.
+            dead = q_iota >= k_true
+            new_scores = jnp.where(dead, NEG_INF, new_scores)
+            finished = jnp.maximum(finished, dead.astype(jnp.int32))
         tok_hist[:] = jnp.where(
             lane_l == s + 1, new_cur, group_sel(tok_hist[:], off, axis=0)
         )
@@ -460,9 +498,12 @@ def _kernel(
         s, finished, _, _ = carry
         return (s < max_length) & (jnp.min(finished) < 1)
 
+    finished0 = tile_beams(row_pad[0], 0).astype(jnp.int32)    # [R, 1]
+    if k_true < kb:
+        finished0 = jnp.maximum(finished0, (q_iota >= k_true).astype(jnp.int32))
     init = (
         jnp.int32(0),
-        tile_beams(row_pad[0], 0).astype(jnp.int32),           # [R, 1]
+        finished0,
         jnp.full((r, 1), bos_id, jnp.int32),
         jnp.where(q_iota == 0, 0.0, NEG_INF),                  # only slot 0 live
     )
@@ -507,13 +548,21 @@ def fused_beam_search_decode(
     ``params`` is the DECODER param tree.  Returns ``(generated
     [B, K, max_length], scores [B, K])`` — the caller applies the final
     length-penalty/best-beam law (shared with the XLA path in
-    decode/beam.py).  Int8-quantized weight leaves are dequantized here
-    (the beam kernel runs float weights).
+    decode/beam.py).
+
+    A FULLY int8-quantized weight tree (ops/quant.py leaves on every matmul
+    weight) is served VMEM-RESIDENT in int8 with use-site dequantization —
+    exactly the XLA dequantize-then-matmul values, at ~4× less weight VMEM
+    (which directly buys bigger cells at the VMEM-bound K=8 point); a
+    partially quantized tree is dequantized on the host and runs the float
+    kernel.  Non-power-of-two beam widths run on the next power-of-two row
+    layout with per-step-killed dead tail slots (exact width-K semantics).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from telugu_asr_tpu.ops.attention import make_cross_attention_cache
+    from telugu_asr_tpu.ops.pallas.decode_fused import tree_fully_quantized
     from telugu_asr_tpu.ops.quant import dequantize_array, is_quantized_leaf
     from telugu_asr_tpu.ops.rope import rope_inv_freq, rope_rot_dim
 
@@ -521,8 +570,10 @@ def fused_beam_search_decode(
         "config/beam_size outside the fused beam kernel's support"
     )
     nb, d, h, dh = cfg.num_blocks, cfg.d_model, cfg.num_heads, cfg.head_dim
-    kb = beam_size
+    k_true = beam_size
+    kb = _next_pow2(beam_size)
     true_batch, t_enc, _ = encoder_out.shape
+    quantized = tree_fully_quantized(params, embedding_table, classifier_kernel)
 
     def deq(leaf):
         if is_quantized_leaf(leaf):
@@ -543,7 +594,7 @@ def fused_beam_search_decode(
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
     dpad = _round_up(d, LANE_TILE)
-    emb = deq(embedding_table)
+    emb = embedding_table["q8"] if quantized else deq(embedding_table)
     vocab = emb.shape[0]
     vp = _round_up(vocab, LANE_TILE)
 
@@ -556,14 +607,31 @@ def fused_beam_search_decode(
     def stack(path):
         return jnp.stack([deq(get(blk, path)) for blk in blocks])
 
-    wq = stack(["masked_mhsa", "mha", "query_kernel"])
-    wk = stack(["masked_mhsa", "mha", "key_kernel"])
-    wv = stack(["masked_mhsa", "mha", "value_kernel"])
-    wo = stack(["masked_mhsa", "mha", "projection_kernel"])
-    wcq = stack(["cross_attention", "mha", "query_kernel"])
-    wco = stack(["cross_attention", "mha", "projection_kernel"])
-    w1 = stack(["ffn", "dense1", "kernel"])
-    w2r = stack(["ffn", "dense2", "kernel"])
+    def stack_q(path):
+        """int8 stack [NB, ..., C] + per-output-channel scales [NB, 1, C]."""
+        leaves = [get(blk, path) for blk in blocks]
+        q = jnp.stack([l["q8"] for l in leaves])
+        s = jnp.stack([l["scale"] for l in leaves])[:, None, :]
+        return q, s
+
+    if quantized:
+        wq, wq_s = stack_q(["masked_mhsa", "mha", "query_kernel"])
+        wk, wk_s = stack_q(["masked_mhsa", "mha", "key_kernel"])
+        wv, wv_s = stack_q(["masked_mhsa", "mha", "value_kernel"])
+        wo, wo_s = stack_q(["masked_mhsa", "mha", "projection_kernel"])
+        wcq, wcq_s = stack_q(["cross_attention", "mha", "query_kernel"])
+        wco, wco_s = stack_q(["cross_attention", "mha", "projection_kernel"])
+        w1, w1_s = stack_q(["ffn", "dense1", "kernel"])
+        w2r, w2_s = stack_q(["ffn", "dense2", "kernel"])
+    else:
+        wq = stack(["masked_mhsa", "mha", "query_kernel"])
+        wk = stack(["masked_mhsa", "mha", "key_kernel"])
+        wv = stack(["masked_mhsa", "mha", "value_kernel"])
+        wo = stack(["masked_mhsa", "mha", "projection_kernel"])
+        wcq = stack(["cross_attention", "mha", "query_kernel"])
+        wco = stack(["cross_attention", "mha", "projection_kernel"])
+        w1 = stack(["ffn", "dense1", "kernel"])
+        w2r = stack(["ffn", "dense2", "kernel"])
     ln1g = stack(["masked_mhsa", "ln", "gamma"])[:, None, :]
     ln1b = stack(["masked_mhsa", "ln", "beta"])[:, None, :]
     ln2g = stack(["cross_attention", "ln", "gamma"])[:, None, :]
@@ -575,6 +643,9 @@ def fused_beam_search_decode(
     if dpad != d:
         wcq = jnp.pad(wcq, [(0, 0), (0, 0), (0, dpad - d)])
         wco = jnp.pad(wco, [(0, 0), (0, dpad - d), (0, 0)])
+        if quantized:
+            wcq_s = jnp.pad(wcq_s, [(0, 0), (0, 0), (0, dpad - d)],
+                            constant_values=1.0)
     hid = w1.shape[-1]
     inner = hid // 2
     hp = _round_up(inner, LANE_TILE)
@@ -584,9 +655,18 @@ def fused_beam_search_decode(
     b1a = jnp.pad(b1[:, None, :inner], [(0, 0), (0, 0), (0, hp - inner)])
     b1b = jnp.pad(b1[:, None, inner:], [(0, 0), (0, 0), (0, hp - inner)])
     w2 = jnp.pad(w2r, [(0, 0), (0, hp - inner), (0, 0)])
-
-    emb_p = jnp.pad(emb, [(0, vp - vocab), (0, 0)])
-    cls_w = jnp.pad(deq(classifier_kernel), [(0, 0), (0, vp - vocab)])
+    if quantized:
+        # padded channels dequantize to 0 (q8 pad 0, scale pad 1)
+        w1a_s = jnp.pad(w1_s[:, :, :inner], pad_h, constant_values=1.0)
+        w1b_s = jnp.pad(w1_s[:, :, inner:], pad_h, constant_values=1.0)
+        emb_p = jnp.pad(embedding_table["q8"], [(0, vp - vocab), (0, 0)])
+        emb_s = embedding_table["scale"][None, :]                      # [1, D]
+        cls_w = jnp.pad(classifier_kernel["q8"], [(0, 0), (0, vp - vocab)])
+        cls_s = jnp.pad(classifier_kernel["scale"], [(0, vp - vocab)],
+                        constant_values=1.0)[None, :]                  # [1, Vp]
+    else:
+        emb_p = jnp.pad(emb, [(0, vp - vocab), (0, 0)])
+        cls_w = jnp.pad(deq(classifier_kernel), [(0, 0), (0, vp - vocab)])
     cls_b = jnp.pad(classifier_bias[None, :], [(0, 0), (0, vp - vocab)],
                     constant_values=-1e30)
     ones_vp = jnp.ones((vp, vp), jnp.float32)
@@ -635,6 +715,10 @@ def fused_beam_search_decode(
     # ---- dtype + cell grouping ----------------------------------------------
     weight_arrays = [emb_p, cls_w, ones_vp, onesb, onesb_c,
                      wq, wk, wv, wo, wcq, wco, w1a, w1b_, w2]
+    if quantized:
+        scale_arrays = [emb_s, cls_s, wq_s, wk_s, wv_s, wo_s, wcq_s, wco_s,
+                        w1a_s, w1b_s, w2_s]
+        weight_arrays = weight_arrays + scale_arrays
     weight_bytes = sum(
         int(np.prod(a.shape)) * jnp.dtype(a.dtype).itemsize for a in weight_arrays
     )
@@ -721,6 +805,7 @@ def fused_beam_search_decode(
         const(w1a.shape), const(w1b_.shape), const(b1a.shape), const(b1b.shape),
         const(w2.shape), const(b2.shape),
         const(ln3g.shape), const(ln3b.shape),
+        *([const(a.shape) for a in scale_arrays] if quantized else []),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec((tc, cross_rows, 1), lambda c: (0, c, 0),
@@ -736,12 +821,14 @@ def fused_beam_search_decode(
         n_blocks=nb,
         head_dim=dh,
         k_beams=kb,
+        k_true=k_true,
         max_length=max_length,
         vocab=vocab,
         bos_id=bos_id,
         eos_id=eos_id,
         pad_id=pad_id,
         dedup=dedup,
+        quantized=quantized,
     )
 
     tokens2, scores2 = pl.pallas_call(
@@ -776,16 +863,18 @@ def fused_beam_search_decode(
         wq, wk, wv, wo, ln1g, ln1b,
         wcq, wco, ln2g, ln2b,
         w1a, w1b_, b1a, b1b, w2, b2, ln3g, ln3b,
+        *(scale_arrays if quantized else ()),
         crossk, crossv, cross_valid_t, qzero_t, row_pad_t,
     )
 
     # un-permute the beam-major cell rows (cell*R + q*Gc + g) back to
-    # utterance-major [G, K, ...]
+    # utterance-major [G, K, ...]; drop the dead pow2-padding slots (winners
+    # land in slot order, so the first k_true slots are the true beams)
     tokens = jnp.transpose(
         tokens2.reshape(n_cells, kb, gc, lp), (0, 2, 1, 3)
-    ).reshape(batch_g, kb, lp)[:true_batch]
+    ).reshape(batch_g, kb, lp)[:true_batch, :k_true]
     generated = tokens[:, :, 1:max_length + 1]
     scores = jnp.transpose(
         scores2.reshape(n_cells, kb, gc), (0, 2, 1)
-    ).reshape(batch_g, kb)[:true_batch]
+    ).reshape(batch_g, kb)[:true_batch, :k_true]
     return generated, scores

@@ -117,10 +117,50 @@ def test_supported_and_fits_laws():
     model, _ = tiny_model()
     cfg = model.cfg.decoder
     assert fused_beam_supported(cfg, 4)
-    assert not fused_beam_supported(cfg, 3)   # power-of-two only
+    assert fused_beam_supported(cfg, 3)   # non-pow2 runs on the pow2 layout
     assert not fused_beam_supported(cfg, 1)
+    assert not fused_beam_supported(cfg, 17)
     assert fused_beam_fits(cfg, 4, 4, 16, 16, vocab=96)
     assert not fused_beam_fits(cfg, 4096, 16, 4096, 4096, vocab=96)
+    # int8 weights fit strictly more: the quantized law never fits less
+    assert fused_beam_fits(cfg, 4, 4, 16, 16, vocab=96, quantized=True)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_fused_beam_non_pow2_matches_xla(k):
+    """Non-power-of-two widths: the pow2 row layout with per-step-killed
+    dead slots must reproduce the XLA width-k beams exactly."""
+    model, params = tiny_model()
+    enc, mask = encodings(model, params)
+    max_length = 9
+    gen, scores = run_fused(model, params, enc, mask, k, max_length)
+    assert gen.shape == (3, k, max_length)
+    t_f, s_f = best_of(gen, scores)
+    t_x, s_x = xla_all_beams(model, params, enc, mask, k, max_length)
+    np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_x))
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_x), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_beam_int8_resident_matches_xla_dequant():
+    """A fully int8-quantized tree served VMEM-resident must produce the
+    exact XLA dequantize-then-matmul beams (same use-site dequant law as the
+    greedy kernel)."""
+    from telugu_asr_tpu.ops.quant import quantize_pytree
+
+    model, params = tiny_model()
+    enc, mask = encodings(model, params)
+    qparams = quantize_pytree(params, min_size=0)
+    max_length = 8
+    gen_q, s_q = run_fused(model, qparams, enc, mask, 4, max_length)
+    # XLA reference on the dequantized tree (beam_search_decode dequantizes
+    # quantized trees on the xla path itself)
+    t_x, s_x = beam_search_decode(
+        model, qparams, enc, mask, max_length=max_length, beam_size=4,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, attention_impl="xla",
+    )
+    t_q, s_qb = best_of(gen_q, s_q)
+    np.testing.assert_array_equal(np.asarray(t_q), np.asarray(t_x))
+    np.testing.assert_allclose(np.asarray(s_qb), np.asarray(s_x), rtol=2e-5, atol=2e-5)
 
 
 def test_fused_beam_dedup_cross_matches_dup():
