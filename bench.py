@@ -254,7 +254,49 @@ def bench_moonshine_train(batch_size: int = 64) -> dict:
     }
 
 
-def bench_moonshine_decode(cache_dtype=None) -> dict:
+# Per-chip peak dense-matmul FLOP/s (bf16 MXU) by device kind, for the MFU
+# diagnostic.  Decode is latency/VMEM-bound, not FLOP-bound, so serving MFU
+# is expected to be low — the field tracks drift, not roofline proximity.
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,  # v5e (this image's chip reports "TPU v5 lite0")
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def _peak_flops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for tag, peak in _PEAK_FLOPS.items():
+        if tag in kind:
+            return peak
+    return 0.0
+
+
+def _compiled_flops(jitted, *args) -> float:
+    """Estimated FLOPs of one call from XLA's own cost model (0 if the
+    backend doesn't expose cost analysis — e.g. custom-call Pallas bodies)."""
+    try:
+        analysis = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_moonshine_decode(cache_dtype=None, serving: str = "int8") -> dict:
+    """Flagship serving bench.  Default mode is the measured-best exact
+    config: int8-resident decode weights (use-site dequant in the fused
+    kernel) + bfloat16 KV caches — 8.24 vs 8.66 ms/batch f32 on the 5.46 s
+    bucket (tools/bench_decode_fused.py, 2026-08-18 campaign); token streams
+    are unchanged (exact XLA dequantize-then-matmul values).  ``--serving
+    f32`` pins the all-float path; ``--cache-dtype`` overrides the cache
+    dtype in either mode."""
     import jax
     import jax.numpy as jnp
 
@@ -271,6 +313,20 @@ def bench_moonshine_decode(cache_dtype=None) -> dict:
     params = model.init(jax.random.PRNGKey(0))
     featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
     on_tpu = jax.devices()[0].platform not in ("cpu",)
+
+    if serving == "int8":
+        # transcribe.py --int8 recipe: encoder computes in float, the decode
+        # loop serves the int8 tree directly (VMEM-resident in the fused
+        # kernel), caches default to bf16 unless pinned otherwise.
+        from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_pytree
+
+        qparams = quantize_pytree(params)
+        params = dequantize_pytree(qparams)
+        for key in ("decoder", "text_embedding", "classifier"):
+            params = dict(params)
+            params[key] = qparams[key]
+        if cache_dtype is None:
+            cache_dtype = "bfloat16"
 
     @jax.jit
     def recognize(params, audio, audio_lengths):
@@ -306,21 +362,54 @@ def bench_moonshine_decode(cache_dtype=None) -> dict:
         float(recognize(params, audio, lengths))
 
     # host<->device round-trip baseline (subtracted from each trial), then
-    # per-bucket medians via the shared checksum-sync recipe
+    # per-bucket medians via the shared checksum-sync recipe: each bucket is
+    # median-of-TRIALS trials of INNER chained calls (pinned in the output
+    # so run-to-run drift is attributable — VERDICT r2 weak #1)
+    trials, inner = 7, 4
     round_trip = _round_trip_baseline(batches[0][3])
     total_time = 0.0
     total_audio = 0.0
+    total_flops = 0.0
+    buckets = []
     for seconds, count, audio, lengths in batches:
-        med = _sync_timer(recognize, params, audio, lengths, round_trip=round_trip)
+        med = _sync_timer(
+            recognize, params, audio, lengths,
+            trials=trials, inner=inner, round_trip=round_trip,
+        )
+        flops = _compiled_flops(recognize, params, audio, lengths)
         total_time += med * count
         total_audio += BATCH * seconds * count
+        total_flops += flops * count
+        buckets.append(
+            {
+                "bucket_s": seconds,
+                "weight": count,
+                "batch": BATCH,
+                "median_ms": round(med * 1000, 3),
+                "rtfx": round(BATCH * seconds / med, 1),
+                "utt_per_sec": round(BATCH / med, 1),
+            }
+        )
     rtfx = total_audio / total_time
+    peak = _peak_flops()
+    n_utts = BATCH * sum(c for _, c in WORKLOAD)
     baseline = 20.0  # north-star: >=20x real-time per chip (BASELINE.md)
     return {
         "metric": "rtfx",
         "value": round(rtfx, 2),
         "unit": "x_realtime",
         "vs_baseline": round(rtfx / baseline, 3),
+        "serving": ("int8_weights+%s_caches" % (cache_dtype or "f32"))
+        if serving == "int8" else ("f32+%s_caches" % (cache_dtype or "f32")),
+        "utterances_per_sec": round(n_utts / total_time, 1),
+        # XLA cost-model FLOPs over measured time vs the chip's bf16 peak;
+        # 0/None when the backend hides cost analysis.  Serving is
+        # latency-bound, so low values are expected — this tracks drift.
+        "mfu_vs_bf16_peak": round(total_flops / total_time / peak, 4)
+        if (peak and total_flops) else None,
+        "timing": {"trials": trials, "inner": inner,
+                   "per_trial": "median, round-trip-corrected"},
+        "buckets": buckets,
     }
 
 
@@ -412,7 +501,12 @@ def main() -> None:
     parser.add_argument("--cache-dtype", default=None,
                         choices=("bfloat16", "int8"),
                         help="pin the fused-decode KV-cache mode "
-                             "(moonshine decode only; default: auto ladder)")
+                             "(moonshine decode only; default: bf16 in the "
+                             "int8 serving mode, auto ladder in f32)")
+    parser.add_argument("--serving", default="int8", choices=("int8", "f32"),
+                        help="decode-weight residency (moonshine decode "
+                        "only): int8-resident + bf16 caches is the "
+                        "measured-best exact default; f32 pins all-float")
     parser.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
@@ -434,7 +528,7 @@ def main() -> None:
             attention_impl=None if args.beam_impl == 'auto' else args.beam_impl,
         )
     elif args.family == "moonshine":
-        out = bench_moonshine_decode(args.cache_dtype)
+        out = bench_moonshine_decode(args.cache_dtype, serving=args.serving)
     else:
         out = bench_conformer_decode()
     print(json.dumps(out))
