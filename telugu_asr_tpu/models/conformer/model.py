@@ -67,22 +67,31 @@ class ConformerConfig:
             sub_kernel_size=int(sub.get("kernel_size", 3)),
             sub_stride=int(sub.get("strides", 2)),
         )
+        # Defaults mirror the reference's get() fallbacks (conformer/model.py:52-60)
+        # except embed_dropout, where the reference's fallback is the absurd
+        # 256 (a copy-paste of embed_dim) — its yaml always sets 0.
         prediction = PredictionConfig(
             vocab_size=vocab_size,
-            embed_dim=int(dec.get("embed_dim", 320)),
+            embed_dim=int(dec.get("embed_dim", 256)),
             embed_dropout=float(dec.get("embed_dropout", 0.0)),
             num_rnns=int(dec.get("num_rnns", 1)),
-            rnn_units=int(dec.get("rnn_units", 320)),
+            rnn_units=int(dec.get("rnn_units", 128)),
             rnn_type=dec.get("rnn_type", "lstm"),
             layer_norm=bool(dec.get("layer_norm", True)),
-            projection_units=int(dec.get("projection_units", 0)),
+            projection_units=int(dec.get("projection_units", 256)),
         )
+        # The reference's EFFECTIVE joint parsing law (conformer/model.py:69-77):
+        # the activation key is "activation" with default "relu" — the yaml's
+        # "joint_activation: tanh" is a DEAD key the reference never reads —
+        # and postjoint_linear DEFAULTS ON.  The shipped reference conformer
+        # therefore ran merge → ffn → relu → vocab; verified against the
+        # reference's own h5 by tests/test_reference_parity_conformer.py.
         joint = JointConfig(
             vocab_size=vocab_size,
-            joint_dim=int(dec.get("joint_dim", 320)),
-            activation=dec.get("joint_activation", dec.get("activation", "tanh")),
+            joint_dim=int(dec.get("joint_dim", 256)),
+            activation=dec.get("activation", "relu"),
             prejoint_linear=bool(dec.get("prejoint_linear", True)),
-            postjoint_linear=bool(dec.get("postjoint_linear", False)),
+            postjoint_linear=bool(dec.get("postjoint_linear", True)),
             joint_mode=dec.get("joint_mode", "add"),
         )
         return cls(

@@ -136,10 +136,194 @@ def build_reference_model(model_config: dict, vocab_size: int, reference_root: s
     return model
 
 
+def _repair_conformer_decoder_inference(conformer_mod) -> None:
+    """§8 repair: ``Conformer.decoder_inference`` passes ``tflite=`` to
+    ``TransducerPrediction.recognize`` which has no such parameter
+    (reference conformer/model.py:113 vs decoder.py:88) — drop the kwarg.
+    Everything else mirrors reference conformer/model.py:104-116 verbatim."""
+    import tensorflow as tf
+
+    def decoder_inference(self, encoded, predicted, states, tflite: bool = False):
+        with tf.name_scope(f"{self.name}_decoder"):
+            encoded = tf.reshape(encoded, [1, 1, -1])
+            predicted = tf.reshape(predicted, [1, -1])
+            y, new_states = self.predict_net.recognize(predicted, states)
+            ytu = tf.nn.log_softmax(self.joint_net([encoded, y], training=False))
+            ytu = tf.reshape(ytu, shape=[-1])
+            return ytu, new_states
+
+    conformer_mod.Conformer.decoder_inference = decoder_inference
+
+
+def build_reference_conformer(model_config: dict, vocab_size: int, reference_root: str):
+    """Instantiate the canonical reference Conformer RNN-T.
+
+    Repairs applied (SURVEY §8.6, reference tree untouched):
+    * ``decoder_inference``'s ``tflite=`` kwarg mismatch (see above);
+    * ``recognize`` reads undefined ``self.text_featurizer`` /
+      ``self.time_reduction_factor`` (conformer/model.py:141,170) — set as
+      instance attributes by the caller (``time_reduction_factor`` = the
+      2-conv stride product 4, encoder.py:26-47; ``text_featurizer`` only
+      needs ``.blank`` and ``.iextract``).
+    """
+    _stub_missing_modules()
+    if reference_root not in sys.path:
+        sys.path.insert(0, reference_root)
+    from src.models import layers as ref_layers
+    from src.models.conformer import model as ref_conformer_mod
+
+    _repair_mhsa_call(ref_layers.attention)
+    _repair_conformer_decoder_inference(ref_conformer_mod)
+
+    # §8 repair: recognize() calls math_util.get_reduced_length
+    # (conformer/model.py:141) which does not exist in the snapshot's
+    # math_util.py.  Canonical semantics (TensorFlowASR lineage): ceil
+    # division — identical to chaining get_conv_length twice with the
+    # subsampler's "same" stride-2 convs (math_util.py:20-32).
+    if not hasattr(ref_conformer_mod.math_util, "get_reduced_length"):
+        import tensorflow as tf
+
+        def get_reduced_length(length, reduction_factor):
+            return tf.cast(
+                tf.math.ceil(tf.divide(length, tf.cast(reduction_factor, length.dtype))),
+                tf.int32,
+            )
+
+        ref_conformer_mod.math_util.get_reduced_length = get_reduced_length
+
+    model = ref_conformer_mod.Conformer(
+        vocab_size=vocab_size,
+        d_model=model_config["d_model"],
+        subsampling_config=dict(model_config["subsampling_config"]),
+        encoder_config=dict(model_config["encoder_config"]),
+        decoder_config=dict(model_config["decoder_config"]),
+        kernel_initializer=dict(model_config["kernel_initializer"]),
+        bias_initializer=model_config.get("bias_initializer", "zeros"),
+        kernel_regularizer=dict(model_config["kernel_regularizer"]),
+        bias_regularizer=dict(model_config["bias_regularizer"]),
+    )
+    return model
+
+
+def main_conformer(args, repo_root: str) -> None:
+    """Conformer RNN-T twin of the Moonshine path: build the canonical
+    reference transducer (conformer/model.py:19-248), save a real legacy-Keras
+    h5, and emit forward-logits + greedy-transducer-decode goldens."""
+    import types as _types
+
+    from telugu_asr_tpu.configs import load_config
+    from telugu_asr_tpu.text import make_transducer_tokenizer
+
+    config = load_config(
+        os.path.join(repo_root, args.config) if not os.path.isabs(args.config) else args.config
+    )
+    tokenizer = make_transducer_tokenizer()
+
+    import tensorflow as tf
+
+    tf.keras.utils.set_random_seed(42)
+    model_config = dict(config.model_config)
+    if args.tiny:
+        model_config["d_model"] = 48
+        model_config["subsampling_config"] = dict(
+            model_config["subsampling_config"], filters=16
+        )
+        model_config["encoder_config"] = dict(
+            model_config["encoder_config"], num_blocks=2, num_heads=2, head_dim=24,
+            kernel_size=7,
+        )
+        model_config["decoder_config"] = dict(
+            model_config["decoder_config"], embed_dim=32, rnn_units=32, joint_dim=32
+        )
+    model = build_reference_conformer(model_config, tokenizer.vocab_size, args.reference)
+
+    num_bins = config.speech_config["num_feature_bins"]
+    rng = np.random.default_rng(7)
+    batch, frames, text_len = args.batch, args.frames, args.text_len
+
+    # Audio rows are FULL length: the reference conformer encoder has no
+    # attention/BN padding masks at all (encoder.py:322-337 threads
+    # ``mask=None``; ``recognize`` passes nothing) whereas ours masks padded
+    # frames — a deliberate fix of a reference deficiency, so audio-side
+    # padding parity is out of scope.  Prediction rows ARE blank-padded:
+    # both sides mask the prediction RNN (reference decoder.py:79-80
+    # ``tf.sequence_mask``; ours ops/rnn.py mask law).
+    feat_lengths = np.full((batch,), frames, dtype=np.int32)
+    features = rng.standard_normal((batch, frames, num_bins, 1)).astype(np.float32)
+    pred_lengths = np.linspace(max(2, text_len // 2), text_len, batch).astype(np.int32)
+    pred_lengths[-1] = text_len
+    prediction = rng.integers(2, tokenizer.vocab_size, (batch, text_len)).astype(np.int32)
+    prediction[:, 0] = tokenizer.blank_token_id
+    for i, n in enumerate(pred_lengths):
+        prediction[i, n:] = tokenizer.blank_token_id
+
+    out = model(
+        {
+            "audio_inputs": tf.constant(features),
+            "audio_inputs_length": tf.constant(feat_lengths),
+            "prediction": tf.constant(prediction),
+            "prediction_length": tf.constant(pred_lengths),
+        },
+        training=False,
+    )
+    # OutputLogits comes back as a plain dict after Keras' structure mapping
+    logits = (out["logits"] if isinstance(out, dict) else out.logits).numpy()
+
+    # Stage goldens for diff localization in the parity tests
+    encoded, _enc_len = model.encoder(
+        (tf.constant(features), tf.constant(feat_lengths)), training=False
+    )
+    pred_out = model.predict_net(
+        (tf.constant(prediction), tf.constant(pred_lengths)), training=False
+    )
+    encoded, pred_out = encoded.numpy(), pred_out.numpy()
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    h5_path = os.path.join(args.out_dir, f"{args.stem}.h5")
+    model.save_weights(h5_path)
+
+    # Greedy transducer decode goldens through the reference's own loop
+    # (conformer/model.py:127-248).  §8.6 repairs: the undefined attributes.
+    model.time_reduction_factor = 4  # two stride-2 convs, encoder.py:26-47
+    model.text_featurizer = _types.SimpleNamespace(
+        blank=int(tokenizer.blank_token_id), iextract=lambda x: x
+    )
+    decoded_batch = model.recognize(
+        {"inputs": tf.constant(features), "inputs_length": tf.constant(feat_lengths)}
+    ).numpy()
+    # Two single-utterance decodes at DIFFERENT natural lengths (unpadded),
+    # exercising the length law without the reference's unmasked-padding gap.
+    short = frames - 7
+    single = features[-1:, :short]
+    decoded_single = model.recognize(
+        {"inputs": tf.constant(single),
+         "inputs_length": tf.constant(np.array([short], np.int32))}
+    ).numpy()
+
+    np.savez(
+        os.path.join(args.out_dir, f"{args.stem}_golden.npz"),
+        model_config=json.dumps(model_config),
+        features=features,
+        feat_lengths=feat_lengths,
+        prediction=prediction,
+        pred_lengths=pred_lengths,
+        logits=logits,
+        encoded=encoded,
+        pred_out=pred_out,
+        decoded_single=decoded_single,
+        decoded_batch=decoded_batch,
+    )
+    n_weights = len(model.weights)
+    print(f"saved {h5_path} ({n_weights} weights) and {args.stem}_golden.npz")
+    print(f"logits shape {logits.shape}; decode shapes: "
+          f"single={decoded_single.shape} batch={decoded_batch.shape}")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--config", default="config/model.yaml")
+    parser.add_argument("--family", default="moonshine", choices=("moonshine", "conformer"))
     parser.add_argument("--reference", default="/root/reference")
     parser.add_argument("--batch", type=int, default=3)
     parser.add_argument("--frames", type=int, default=90, help="mel frames (pre-subsampling)")
@@ -157,6 +341,10 @@ def main() -> None:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo_root not in sys.path:
         sys.path.insert(0, repo_root)
+
+    if args.family == "conformer":
+        main_conformer(args, repo_root)
+        return
 
     from telugu_asr_tpu.configs import load_config
     from telugu_asr_tpu.text import make_default_tokenizer
