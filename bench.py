@@ -23,6 +23,9 @@ Extra modes (not run by the driver):
 ``--mode beam [--beam K] [--cache-dtype bfloat16]``  beam-search RTFx
                                    (XLA while_loop path, beams folded into
                                    the batch)
+``--family conformer --mode beam [--beam K]``  transducer beam-search RTFx
+                                   (frame-synchronous lax.scan beam,
+                                   decode/transducer_beam.py)
 """
 from __future__ import annotations
 
@@ -407,19 +410,21 @@ def bench_moonshine_decode(cache_dtype=None, serving: str = "int8") -> dict:
         # latency-bound, so low values are expected — this tracks drift.
         "mfu_vs_bf16_peak": round(total_flops / total_time / peak, 4)
         if (peak and total_flops) else None,
-        "timing": {"trials": trials, "inner": inner,
-                   "per_trial": "median, round-trip-corrected"},
+        "timing": {"trials": trials, "inner": f"auto>={inner} (250ms windows)",
+                   "per_trial": "median, min-round-trip-corrected"},
         "buckets": buckets,
     }
 
 
 def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None,
                          lazy_reorder: bool = True,
-                         attention_impl=None) -> dict:
+                         attention_impl=None, serving: str = "f32") -> dict:
     """Beam-search decode RTFx (capability extension; reference is greedy
     only).  Same duration mix as the greedy bench; beams fold into the batch
-    (B×K rows share one KV cache) on the XLA while_loop path — the fused
-    kernel covers greedy only."""
+    (B×K rows share one KV cache).  On TPU the fused whole-loop beam kernel
+    carries the decode when it fits; ``serving="int8"`` makes the decode
+    weights int8-VMEM-resident inside it (use-site dequant — exact XLA
+    dequantize-then-matmul values, ~4× less weight VMEM)."""
     import jax
     import jax.numpy as jnp
 
@@ -437,6 +442,20 @@ def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None,
     params = model.init(jax.random.PRNGKey(0))
     featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
     on_tpu = jax.devices()[0].platform not in ("cpu",)
+
+    if serving == "int8":
+        # same recipe as bench_moonshine_decode: float encoder, int8 decode
+        # tree (decode.beam auto-detects it; the fused beam kernel serves it
+        # VMEM-resident, the XLA fallback dequantizes once)
+        from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_pytree
+
+        qparams = quantize_pytree(params)
+        params = dequantize_pytree(qparams)
+        for key in ("decoder", "text_embedding", "classifier"):
+            params = dict(params)
+            params[key] = qparams[key]
+        if cache_dtype is None:
+            cache_dtype = "bfloat16"
 
     @jax.jit
     def recognize(params, audio, audio_lengths):
@@ -482,6 +501,68 @@ def bench_moonshine_beam(beam_size: int = 4, cache_dtype=None,
     }
 
 
+def bench_conformer_beam(beam_size: int = 4) -> dict:
+    """Transducer beam-search RTFx (capability extension — the reference's
+    transducer decode is greedy-only, src/models/conformer/model.py:127-248).
+
+    Same duration workload as the greedy bench: fused log-mel → Conformer
+    encoder → frame-synchronous batched beam (decode/transducer_beam.py,
+    beams folded into the batch for the prediction net + joint)."""
+    import jax
+    import jax.numpy as jnp
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+    from telugu_asr_tpu.decode.transducer_beam import transducer_beam_search
+    from telugu_asr_tpu.text import make_transducer_tokenizer
+    from telugu_asr_tpu.utils import setup_environment
+
+    setup_environment()
+    tokenizer = make_transducer_tokenizer()
+    model = _flagship_conformer(tokenizer.vocab_size)
+    params, state = model.init(jax.random.PRNGKey(0))
+    featurizer = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+
+    @jax.jit
+    def recognize(params, state, audio, audio_lengths):
+        if on_tpu:
+            features, feat_lengths = featurizer.fused(audio, audio_lengths)
+        else:
+            features, feat_lengths = featurizer(audio, audio_lengths)
+        enc_out, enc_lengths, _ = model.encode(
+            params, state, features, feat_lengths)
+        tokens, counts = transducer_beam_search(
+            model, params, enc_out, enc_lengths, beam_size=beam_size)
+        return jnp.sum(tokens) + jnp.sum(counts)
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for seconds, count in WORKLOAD:
+        samples = int(seconds * 16000)
+        audio = jnp.asarray(rng.standard_normal((BATCH, samples)) * 0.1, jnp.float32)
+        lengths = jnp.full((BATCH,), samples, jnp.int32)
+        batches.append((seconds, count, audio, lengths))
+    for _, _, audio, lengths in batches:
+        float(recognize(params, state, audio, lengths))
+    round_trip = _round_trip_baseline(batches[0][3])
+    total_time = total_audio = 0.0
+    buckets = {}
+    for seconds, count, audio, lengths in batches:
+        med = _sync_timer(recognize, params, state, audio, lengths,
+                          round_trip=round_trip)
+        buckets[f"{seconds}s"] = round(med * 1e3, 2)
+        total_time += med * count
+        total_audio += BATCH * seconds * count
+    rtfx = total_audio / total_time
+    return {
+        "metric": f"conformer_beam{beam_size}_rtfx",
+        "value": round(rtfx, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtfx / 20.0, 3),
+        "buckets_ms": buckets,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--family", choices=("moonshine", "conformer"),
@@ -503,10 +584,12 @@ def main() -> None:
                         help="pin the fused-decode KV-cache mode "
                              "(moonshine decode only; default: bf16 in the "
                              "int8 serving mode, auto ladder in f32)")
-    parser.add_argument("--serving", default="int8", choices=("int8", "f32"),
-                        help="decode-weight residency (moonshine decode "
-                        "only): int8-resident + bf16 caches is the "
-                        "measured-best exact default; f32 pins all-float")
+    parser.add_argument("--serving", default=None, choices=("int8", "f32"),
+                        help="decode-weight residency (moonshine decode/"
+                        "beam): int8-resident + bf16 caches is the "
+                        "measured-best exact default for greedy decode "
+                        "(beam defaults to f32 for comparability with the "
+                        "published f32 rungs); f32 pins all-float")
     parser.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
@@ -521,14 +604,18 @@ def main() -> None:
     if args.mode == "train":
         fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
         out = fn(args.batch) if args.batch else fn()
+    elif args.mode == "beam" and args.family == "conformer":
+        out = bench_conformer_beam(args.beam)
     elif args.mode == "beam":
         out = bench_moonshine_beam(
             args.beam, args.cache_dtype,
             lazy_reorder=not args.eager_reorder,
             attention_impl=None if args.beam_impl == 'auto' else args.beam_impl,
+            serving=args.serving or "f32",
         )
     elif args.family == "moonshine":
-        out = bench_moonshine_decode(args.cache_dtype, serving=args.serving)
+        out = bench_moonshine_decode(args.cache_dtype,
+                                     serving=args.serving or "int8")
     else:
         out = bench_conformer_decode()
     print(json.dumps(out))

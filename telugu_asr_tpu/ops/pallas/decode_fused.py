@@ -296,7 +296,12 @@ def _kernel(
             if not precise_scores:
                 gi = gi.astype(jnp.bfloat16)
             oi = ones_ref[lo:hi, lo:hi].astype(gi.dtype)
-            outs.append(jnp.dot(gi, oi, preferred_element_type=vdt))
+            # accumulate f32 ALWAYS (Mosaic rejects bf16 matmul accumulators
+            # when both operands are bf16 — fast_scores+fast_segments); one
+            # rounding at write-out keeps the vdt contract
+            outs.append(
+                jnp.dot(gi, oi, preferred_element_type=jnp.float32).astype(vdt)
+            )
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
 
     def rope(x, cos, sin, evm):
@@ -416,7 +421,8 @@ def _kernel(
         if not precise_scores:
             g = g.astype(jnp.bfloat16)
         si = jnp.dot(g, sum_ref[:].astype(g.dtype),
-                     preferred_element_type=vdt).reshape(SEG, r, H128)
+                     preferred_element_type=jnp.float32).astype(vdt).reshape(
+                         SEG, r, H128)
         if kscale is not None:
             si = si * kscale.astype(vdt)
         si = jnp.where(valid, si, vdt(MASK_BIAS))
@@ -433,8 +439,8 @@ def _kernel(
         ev128 = e * vscale.astype(vdt) if vscale is not None else e
         e_infl = jnp.dot(
             ev128.reshape(SEG * r, H128), exp_ref[:].astype(e.dtype),
-            preferred_element_type=vdt,
-        ).reshape(SEG, r, w)
+            preferred_element_type=jnp.float32,
+        ).astype(vdt).reshape(SEG, r, w)
         tv = e_infl * vseg
         wseg = SEG
         while wseg > 1:
