@@ -292,14 +292,19 @@ def _compiled_flops(jitted, *args) -> float:
         return 0.0
 
 
-def bench_moonshine_decode(cache_dtype=None, serving: str = "int8") -> dict:
-    """Flagship serving bench.  Default mode is the measured-best exact
-    config: int8-resident decode weights (use-site dequant in the fused
-    kernel) + bfloat16 KV caches — 8.24 vs 8.66 ms/batch f32 on the 5.46 s
-    bucket (tools/bench_decode_fused.py, 2026-08-18 campaign); token streams
-    are unchanged (exact XLA dequantize-then-matmul values).  ``--serving
-    f32`` pins the all-float path; ``--cache-dtype`` overrides the cache
-    dtype in either mode."""
+def bench_moonshine_decode(cache_dtype=None, serving: str = "f32") -> dict:
+    """Flagship serving bench.  Default mode is the measured-best config
+    over the WHOLE duration mix: float weights + bfloat16 KV caches
+    (end-to-end 2026-08-19 sweep, ms/batch by bucket 2s/5.46s/9s/17.73s —
+    f32+bf16 2.78/10.69/27.30/93.89 = RTFx 17,459 vs int8+bf16
+    2.76/10.59/27.38/100.54 = 16,710 and f32+f32 2.77/10.94/27.51/94.30 =
+    17,327).  Int8-resident weights win the short buckets (use-site dequant
+    beats the HBM reads they replace) but pay ~6 ms at the dominant 17.73 s
+    bucket, where per-step segment work binds and the dequant runs once per
+    step per cell ×4 sequential cells — so int8 stays the serving option
+    (``--serving int8``: 4× smaller at rest, exact XLA
+    dequantize-then-matmul token streams) and f32+bf16 the throughput
+    default.  ``--cache-dtype`` overrides the cache dtype in either mode."""
     import jax
     import jax.numpy as jnp
 
@@ -320,7 +325,7 @@ def bench_moonshine_decode(cache_dtype=None, serving: str = "int8") -> dict:
     if serving == "int8":
         # transcribe.py --int8 recipe: encoder computes in float, the decode
         # loop serves the int8 tree directly (VMEM-resident in the fused
-        # kernel), caches default to bf16 unless pinned otherwise.
+        # kernel).
         from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_pytree
 
         qparams = quantize_pytree(params)
@@ -328,8 +333,8 @@ def bench_moonshine_decode(cache_dtype=None, serving: str = "int8") -> dict:
         for key in ("decoder", "text_embedding", "classifier"):
             params = dict(params)
             params[key] = qparams[key]
-        if cache_dtype is None:
-            cache_dtype = "bfloat16"
+    if cache_dtype is None:
+        cache_dtype = "bfloat16"
 
     @jax.jit
     def recognize(params, audio, audio_lengths):
@@ -580,16 +585,17 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=None,
                         help="train-mode batch size override (64 moonshine / 8 conformer)")
     parser.add_argument("--cache-dtype", default=None,
-                        choices=("bfloat16", "int8"),
+                        choices=("bfloat16", "int8", "float32"),
                         help="pin the fused-decode KV-cache mode "
-                             "(moonshine decode only; default: bf16 in the "
-                             "int8 serving mode, auto ladder in f32)")
+                             "(moonshine decode only; default: bf16 — the "
+                             "measured-best over the duration mix)")
     parser.add_argument("--serving", default=None, choices=("int8", "f32"),
                         help="decode-weight residency (moonshine decode/"
-                        "beam): int8-resident + bf16 caches is the "
-                        "measured-best exact default for greedy decode "
-                        "(beam defaults to f32 for comparability with the "
-                        "published f32 rungs); f32 pins all-float")
+                        "beam): f32 weights + bf16 caches is the "
+                        "measured-best whole-mix default (int8-resident "
+                        "wins short buckets but loses ~6 ms at the "
+                        "dominant 17.73 s bucket); int8 serves 4x smaller "
+                        "with exact dequantize-then-matmul tokens")
     parser.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
@@ -615,7 +621,7 @@ def main() -> None:
         )
     elif args.family == "moonshine":
         out = bench_moonshine_decode(args.cache_dtype,
-                                     serving=args.serving or "int8")
+                                     serving=args.serving or "f32")
     else:
         out = bench_conformer_decode()
     print(json.dumps(out))

@@ -14,6 +14,8 @@ shapes (one XLA program per bucket shape, compiled once and reused).
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 import time
 from functools import partial
 from typing import Dict
@@ -32,6 +34,43 @@ logger = logging.getLogger("telugu_asr_tpu")
 
 __all__ = ["run_testing", "evaluate_results", "predict_batches"]
 
+_SENTINEL = object()
+
+
+def _prefetch(iterable, transform, depth: int):
+    """Yield ``transform(item)`` for each item, computed in a background
+    thread up to ``depth`` items ahead.
+
+    The eval pipeline's host work — disk read + WAV decode + bucketing in
+    ``dataset.batches`` and the host→device PCM transfer in ``transform`` —
+    runs in the producer thread while the main thread dispatches device
+    decode and blocks on token readbacks, so IO, transfer and compute all
+    overlap (the transfer is the end-to-end bound on tunneled deployments:
+    ~21 MB/s vs a device pipeline at ~17,000× real time).  Producer
+    exceptions re-raise in the consumer."""
+    out: "queue.Queue" = queue.Queue(maxsize=depth)
+    errors: list = []
+
+    def worker() -> None:
+        try:
+            for item in iterable:
+                out.put(transform(item))
+        except BaseException as exc:  # re-raised below, never swallowed
+            errors.append(exc)
+        finally:
+            out.put(_SENTINEL)
+
+    thread = threading.Thread(target=worker, name="eval-prefetch", daemon=True)
+    thread.start()
+    while True:
+        item = out.get()
+        if item is _SENTINEL:
+            thread.join()
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
 
 def predict_batches(
     model: ASRModel,
@@ -45,6 +84,7 @@ def predict_batches(
     max_length_quantum: int = 8,
     cache_dtype=None,
     beam_size: int = 1,
+    prefetch_depth: int = 2,
 ):
     """Yield ``(entry_indices, hypothesis_texts, groundtruth_texts)`` per batch.
 
@@ -53,9 +93,11 @@ def predict_batches(
     reference's greedy-only eval.
 
     Host→device audio ships as int16 (half the bytes of float32 — the
-    transfer, not compute, bounds end-to-end eval throughput) and the NEXT
-    batch's transfer is started before the current batch's tokens are read
-    back, overlapping I/O with decode.
+    transfer, not compute, bounds end-to-end eval throughput), and a
+    ``prefetch_depth``-deep producer thread keeps the disk IO + transfer
+    of upcoming batches running underneath device decode and token
+    readback (``_prefetch``), so the wall time approaches
+    max(transfer, compute) instead of their sum.
     """
     tokenizer = dataset.tokenizer
 
@@ -103,12 +145,20 @@ def predict_batches(
         max_len = ((max_len + max_length_quantum - 1) // max_length_quantum) * max_length_quantum
         return run(params, audio_i16, lengths, max_len=max_len)
 
+    def ship(batch):
+        inputs, labels, indices = batch
+        return to_device(inputs), labels, indices
+
     pending = None  # (indices, labels, tokens) awaiting readback
-    for inputs, labels, indices in dataset.batches(batch_size):
-        device_batch = to_device(inputs)
+    for device_batch, labels, indices in _prefetch(
+        dataset.batches(batch_size), ship, depth=prefetch_depth
+    ):
+        # dispatch THIS batch's decode (async) before blocking on the
+        # previous batch's token readback: the device stays busy through
+        # the readback and the producer thread refills the queue meanwhile
+        tokens = launch(*device_batch)
         if pending is not None:
             yield _finish(tokenizer, *pending)
-        tokens = launch(*device_batch)
         pending = (indices, labels, tokens)
     if pending is not None:
         yield _finish(tokenizer, *pending)
@@ -132,7 +182,9 @@ def transducer_predict_batches(
 ):
     """Greedy transducer decode per batch → (indices, hyp texts, ref texts)."""
     tokenizer = dataset.tokenizer
-    for inputs, labels, indices in dataset.batches(batch_size):
+    for inputs, labels, indices in _prefetch(
+        dataset.batches(batch_size), lambda b: b, depth=2
+    ):
         features, feat_lengths = featurizer(inputs["audio"], inputs["audio_lengths"])
         frame_tokens, _ = model.recognize(params, model_state, features, feat_lengths)
         stripped = model.strip_blanks(frame_tokens, model.cfg.blank_id)
