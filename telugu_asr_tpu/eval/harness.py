@@ -228,7 +228,12 @@ def run_testing(
             parity_unmasked_cross=parity_unmasked_cross,
             beam_size=beam_size,
         )
+    batch_seconds = []
+    tick = start
     for indices, hyps, refs in batch_iter:
+        now = time.perf_counter()
+        batch_seconds.append(now - tick)
+        tick = now
         for i, hyp, ref in zip(indices, hyps, refs):
             path, duration, _ = dataset.entries[i]
             rows[int(i)] = (path, duration, ref, hyp)
@@ -245,6 +250,26 @@ def run_testing(
     metrics["rtfx"] = audio_seconds / elapsed if elapsed > 0 else float("inf")
     metrics["utterances_per_second"] = len(rows) / elapsed if elapsed > 0 else float("inf")
     metrics["elapsed_seconds"] = elapsed
+    if batch_seconds:
+        # Pacing attribution: on tunneled deployments the transport exhibits
+        # sporadic one-sided stalls (observed up to minutes) that can dominate
+        # wall time without any pipeline regression.  Report the median-paced
+        # wall alongside the raw one so runs self-diagnose: a healthy pipeline
+        # shows steady_state_elapsed ≈ elapsed; a stalled transport shows the
+        # gap concentrated in a few batches (stall_seconds).
+        paced = sorted(batch_seconds)
+        median = paced[len(paced) // 2]
+        steady = median * len(batch_seconds)
+        metrics["batch_seconds_median"] = median
+        metrics["batch_seconds_max"] = paced[-1]
+        metrics["steady_state_elapsed"] = steady
+        metrics["stall_seconds"] = max(0.0, elapsed - steady)
+        logger.info(
+            "batch pacing: n=%d median=%.3fs p95=%.3fs max=%.3fs "
+            "(steady-state wall %.1fs vs raw %.1fs)",
+            len(paced), median, paced[int(len(paced) * 0.95)], paced[-1],
+            steady, elapsed,
+        )
     logger.info("run_testing: %s", metrics)
     return metrics
 
