@@ -22,6 +22,10 @@ partial-result tick — the standard growing-window scheme:
   — per-tick sequential work is O(new tokens), not O(all tokens so far).
   Partials are approximations by nature (see above); the forced prefix only
   locks in tokens the previous tick already showed the user.
+* Each tick shape compiles ONCE into a single featurize→encode→(prefill)→
+  decode XLA program, so a warm tick costs one dispatch plus one result
+  fetch — on a tunnel-attached chip this matters more than the math (the
+  eager per-stage path paid ~180 ms/tick of op-by-op dispatch overhead).
 * ``finalize()`` runs the same pipeline once over the exact buffered audio
   and is IDENTICAL to offline :func:`telugu_asr_tpu.decode.greedy.recognize`
   on the full signal (tested) — padding to a bucket is invisible because
@@ -101,6 +105,13 @@ class StreamingRecognizer:
         self.prefix_trim = int(prefix_trim)
         self.partial_max_new = int(partial_max_new)
         self.prefix_quantum = int(prefix_quantum)
+        # One compiled XLA program per (bucket, prefix-pad, cap) tick shape:
+        # featurize -> encode -> (prefill) -> decode in a SINGLE dispatch.
+        # Running the stages eagerly from Python costs hundreds of op-by-op
+        # device calls per tick (~180 ms of dispatch alone for the eager
+        # encoder on a tunnel-attached chip, measured 2026-08-19); one
+        # program cuts a warm tick to one dispatch + one result fetch.
+        self._programs = {}
         self.reset()
 
     # -- lifecycle -----------------------------------------------------------
@@ -170,11 +181,45 @@ class StreamingRecognizer:
         top = self.bucket_samples[-1]
         return -(-n // top) * top
 
+    def _program(self, pad_width: int, p_pad: int, max_length: int,
+                 max_new: Optional[int]):
+        """Compiled tick: featurize → encode → (prefill) → decode, ONE
+        XLA program per (bucket, prefix-pad, cap, new-token-budget) shape."""
+        key = (pad_width, p_pad, max_length, max_new)
+        fn = self._programs.get(key)
+        if fn is not None:
+            return fn
+        decode_kw = dict(
+            max_length=max_length,
+            bos_id=self.tokenizer.bos_token_id,
+            eos_id=self.tokenizer.eos_token_id,
+            pad_id=self.tokenizer.pad_token_id,
+            attention_impl=self.attention_impl,
+        )
+        if max_new is not None:
+            decode_kw["max_new_tokens"] = max_new
+
+        if p_pad:
+            def run(params, decode_params, signal, lengths, forced, forced_len):
+                feats, feat_lengths = self.featurizer(signal, lengths)
+                enc, mask = self.model.encode(params, feats, feat_lengths)
+                return greedy_decode(self.model, decode_params, enc, mask,
+                                     forced_prefix=forced,
+                                     forced_length=forced_len, **decode_kw)
+        else:
+            def run(params, decode_params, signal, lengths):
+                feats, feat_lengths = self.featurizer(signal, lengths)
+                enc, mask = self.model.encode(params, feats, feat_lengths)
+                return greedy_decode(self.model, decode_params, enc, mask,
+                                     **decode_kw)
+        fn = jax.jit(run)
+        self._programs[key] = fn
+        return fn
+
     def _recognize_buffer(self, exact_cap: bool = False) -> str:
         n = self._num_samples
         signal = self._dev_audio  # [1, bucket], zero-padded past n
         lengths = jnp.asarray([n], jnp.int32)
-        feats, feat_lengths = self.featurizer(signal, lengths)
         # ``max_length`` is a static jit arg of greedy_decode, so partial
         # ticks derive it from the PADDED bucket's frame count — compiled
         # programs stay bounded by the bucket ladder instead of retracing on
@@ -187,17 +232,11 @@ class StreamingRecognizer:
             frame_length=self.featurizer.config.frame_length,
             sample_rate=self.sample_rate,
         )
-        encoder_out, encoder_mask = self.model.encode(
-            self.params, feats, feat_lengths
-        )
-        decode_kwargs = dict(
-            max_length=max_length,
-            bos_id=self.tokenizer.bos_token_id,
-            eos_id=self.tokenizer.eos_token_id,
-            pad_id=self.tokenizer.pad_token_id,
-            attention_impl=self.attention_impl,
-        )
-        if not exact_cap:
+        pad_width = int(signal.shape[1])
+        args = (self.params, self.decode_params, signal, lengths)
+        if exact_cap:
+            p_pad, max_new = 0, None
+        else:
             # Partial tick: teacher-force the previous tick's tokens (minus
             # the revisable tail) as a prefix — one batched prefill pass —
             # then decode at most ``partial_max_new`` NEW tokens.  The prefix
@@ -211,22 +250,13 @@ class StreamingRecognizer:
             q = self.prefix_quantum
             p_pad = max(q, -(-(len(prefix)) // q) * q) if prefix else 0
             p_pad = min(p_pad, max_length)
+            max_new = self.partial_max_new
             if p_pad:
-                forced = np.full((1, p_pad), self.tokenizer.pad_token_id, np.int32)
+                forced = np.full((1, p_pad), pad, np.int32)
                 forced[0, : len(prefix)] = prefix
-                decode_kwargs.update(
-                    forced_prefix=jnp.asarray(forced),
-                    forced_length=jnp.int32(len(prefix)),
-                )
-            decode_kwargs.update(max_new_tokens=self.partial_max_new)
-        tokens, token_lengths = greedy_decode(
-            self.model,
-            self.decode_params,
-            encoder_out,
-            encoder_mask,
-            **decode_kwargs,
-        )
-        ids = np.asarray(tokens)[0, : int(token_lengths[0])]
-        ids = [int(t) for t in ids]
+                args = args + (jnp.asarray(forced), jnp.int32(len(prefix)))
+        tokens, token_lengths = self._program(pad_width, p_pad, max_length, max_new)(*args)
+        toks_np, tlen_np = jax.device_get((tokens, token_lengths))
+        ids = [int(t) for t in toks_np[0, : int(tlen_np[0])]]
         self._last_ids = ids
         return self.tokenizer.decode(ids, skip_special_tokens=True)
