@@ -35,7 +35,14 @@ def setup_environment(
     if platform:
         # must run before any backend initialization (first jax.devices()
         # call); env vars alone are ignored when a sitecustomize registers
-        # a plugin backend in every process, so set the config directly
+        # a plugin backend in every process, so set the config directly.
+        # TPU chips may be registered under a PJRT plugin name rather than
+        # the literal 'tpu' (e.g. a tunnel-attached chip exporting
+        # JAX_PLATFORMS=axon) — honor --platform tpu by mapping to it.
+        if platform == "tpu":
+            plugin = os.environ.get("JAX_PLATFORMS", "")
+            if plugin and "tpu" not in plugin.split(","):
+                platform = plugin
         jax.config.update("jax_platforms", platform)
     if compilation_cache_dir:
         os.makedirs(compilation_cache_dir, exist_ok=True)
