@@ -37,6 +37,7 @@ import dataclasses
 import json
 import math
 import os
+import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -73,12 +74,14 @@ class _ParamSpec:
 
 class Trial:
     def __init__(self, number: int, study: "Study", params: Optional[dict] = None,
-                 uid: Optional[str] = None):
+                 uid: Optional[str] = None, created_at: Optional[float] = None):
         self.number = number
         self.study = study
-        # Cross-process identity: `number` can collide between concurrent
-        # workers (each numbers locally); `uid` never does.
+        # Cross-process identity: `number` is display-order only and is
+        # globally RENUMBERED on every merge (workers number locally, so raw
+        # numbers collide); `uid` never collides and is the real key.
         self.uid = uid or f"{os.getpid()}-{os.urandom(4).hex()}"
+        self.created_at = time.time() if created_at is None else float(created_at)
         self.params: Dict[str, Any] = dict(params or {})
         self.intermediate: Dict[int, float] = {}
         self.state = "running"
@@ -282,13 +285,26 @@ class Study:
             uid = td.get("uid") or f"legacy-{td['number']}"
             if uid in known:
                 continue
-            t = Trial(td["number"], self, td["params"], uid=uid)
+            t = Trial(td["number"], self, td["params"], uid=uid,
+                      created_at=td.get("created_at"))
             t.state = td["state"]
             t.value = td.get("value")
             t.intermediate = {int(k): v for k, v in td.get("intermediate", {}).items()}
             t.user_attrs = td.get("user_attrs", {})
             self.trials.append(t)
-        self.trials.sort(key=lambda t: t.number)
+        self._renumber()
+
+    def _renumber(self) -> None:
+        """Globally renumber trials 0..n-1 in deterministic start order.
+
+        Workers number trials locally, so merged studies held colliding
+        ``number``s (round-3 sweep: four distinct trials all "#0").  Numbers
+        are display-order only — uid is the key — so every merge re-derives
+        them from (created_at, uid), which is identical in every process that
+        merged the same trial set."""
+        self.trials.sort(key=lambda t: (t.created_at, t.uid))
+        for i, t in enumerate(self.trials):
+            t.number = i
 
     def _load(self) -> None:
         with self._lock():
@@ -310,6 +326,7 @@ class Study:
                     {
                         "number": t.number,
                         "uid": t.uid,
+                        "created_at": t.created_at,
                         "state": t.state,
                         "value": t.value,
                         "params": t.params,

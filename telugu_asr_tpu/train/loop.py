@@ -50,6 +50,17 @@ class CSVLogger:
                 self._wrote_header = True
             writer.writerow([epoch, f"{loss:.6f}", "" if val_loss is None else f"{val_loss:.6f}"])
 
+    def truncate_from(self, epoch: int) -> None:
+        """Drop rows with epoch >= ``epoch`` (re-run epochs after a resume)."""
+        if not os.path.exists(self.path):
+            return
+        with open(self.path, "r", newline="", encoding="utf-8") as f:
+            rows = [r for r in csv.reader(f) if r]
+        kept = [r for r in rows if not (r[0].lstrip("-").isdigit() and int(r[0]) >= epoch)]
+        if len(kept) != len(rows):
+            with open(self.path, "w", newline="", encoding="utf-8") as f:
+                csv.writer(f).writerows(kept)
+
 
 def fit(
     *,
@@ -64,7 +75,7 @@ def fit(
     seed: int = 42,
     mesh=None,
     steps_per_epoch: Optional[int] = None,
-    checkpoint_max_to_keep: Optional[int] = None,
+    checkpoint_max_to_keep: Optional[int] = 3,
     on_step: Optional[Callable[[int, dict], None]] = None,
     on_epoch: Optional[Callable[[TrainState, int], Optional[dict]]] = None,
     metrics_logger=None,
@@ -90,6 +101,11 @@ def fit(
         state = ckpt.restore(state)
         start_epoch = latest
         logger.info("resumed from epoch %d (step %d)", latest, int(state.step))
+        if metrics_logger is not None and hasattr(metrics_logger, "truncate_after"):
+            # Drop step rows from an abandoned future (crash past the restored
+            # checkpoint) so the metrics CSV never holds conflicting records.
+            metrics_logger.truncate_after(int(state.step))
+        csv_logger.truncate_from(start_epoch)
 
     rng = jax.random.PRNGKey(seed)
     train_iter = PrefetchLoader(train_dataset.infinite_batches(batch_size), num_prefetch=2)

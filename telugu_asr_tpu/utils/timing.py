@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import time
 
-__all__ = ["round_trip_baseline", "sync_timer"]
+__all__ = ["round_trip_baseline", "sync_timer", "sync_timer_stats"]
 
 
 def round_trip_baseline(probe_array, trials: int = 9) -> float:
@@ -56,6 +56,22 @@ def sync_timer(fn, *args, trials: int = 5, inner: int = 4,
     ``round_trip`` carries several ms of run-to-run tunnel noise, so windows
     must dwarf it for the quotient to be stable (VERDICT r2 weak #1 — the
     driver metric drifted 3% between rounds for exactly this reason)."""
+    return sync_timer_stats(fn, *args, trials=trials, inner=inner,
+                            round_trip=round_trip, min_window=min_window)["median"]
+
+
+def sync_timer_stats(fn, *args, trials: int = 5, inner: int = 4,
+                     round_trip: float = 0.0, min_window: float = 0.25) -> dict:
+    """``sync_timer`` with the full trial distribution exposed.
+
+    Returns ``{"median", "min", "max", "inner", "times"}`` (seconds per
+    call).  ``max/min`` spread is the weather tell: device work is
+    deterministic, so trials disagreeing by tens of percent means the tunnel
+    stalled INSIDE a timed window (dispatch starvation the end-of-window
+    round-trip correction cannot see) — a degraded measurement, not a slower
+    program.  Callers that must be weather-robust (bench.py, the driver
+    metric) use this to re-run degraded buckets instead of averaging stalls
+    into the score."""
     start = time.perf_counter()
     checksum = None
     for _ in range(inner):
@@ -72,4 +88,10 @@ def sync_timer(fn, *args, trials: int = 5, inner: int = 4,
             checksum = fn(*args)
         float(checksum)
         times.append(max(time.perf_counter() - start - round_trip, 1e-9) / inner)
-    return sorted(times)[len(times) // 2]
+    return {
+        "median": sorted(times)[len(times) // 2],
+        "min": min(times),
+        "max": max(times),
+        "inner": inner,
+        "times": times,
+    }

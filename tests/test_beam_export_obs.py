@@ -185,3 +185,63 @@ def test_metrics_logger_csv(tmp_path):
     assert lines[0] == "step,loss,lr"
     assert len(lines) == 3
     logger.close()
+
+
+def test_metrics_logger_single_header_across_groups(tmp_path):
+    """Alternating train/val field sets must yield ONE parseable CSV: a single
+    stable superset header, never interleaved re-headers (round-3 advisor)."""
+    import csv
+
+    from telugu_asr_tpu.utils.metrics_writer import MetricsLogger
+
+    path = str(tmp_path / "steps.csv")
+    logger = MetricsLogger(csv_path=path)
+    logger.log(50, {"loss": 2.0, "lr": 0.1})
+    logger.log(100, {"val_loss": 3.0, "epoch_loss": 2.1})  # new field group
+    logger.log(150, {"loss": 1.8, "lr": 0.09})
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["step", "loss", "lr", "epoch_loss", "val_loss"]
+    assert len(rows) == 4  # exactly one header
+    assert all(len(r) == len(rows[0]) for r in rows)
+    assert rows[2][0] == "100" and rows[2][1] == ""  # missing fields blank
+    logger.close()
+
+
+def test_metrics_logger_resume_truncation(tmp_path):
+    """A resumed run truncates rows logged past the restored step, then appends
+    without duplicating steps — and a reopened logger adopts the existing header."""
+    import csv
+
+    from telugu_asr_tpu.utils.metrics_writer import MetricsLogger
+
+    path = str(tmp_path / "steps.csv")
+    logger = MetricsLogger(csv_path=path)
+    for step in (50, 100, 150, 200):
+        logger.log(step, {"loss": float(step)})
+    logger.close()
+
+    resumed = MetricsLogger(csv_path=path)  # fresh process, same file
+    resumed.truncate_after(100)  # checkpoint restored at step 100
+    resumed.log(150, {"loss": -150.0})
+    with open(path, newline="") as f:
+        rows = list(csv.reader(f))
+    steps = [r[0] for r in rows[1:]]
+    assert steps == ["50", "100", "150"]
+    assert rows[3][1] == "-150.0"  # the re-run row, not the stale one
+    resumed.close()
+
+
+def test_epoch_csv_logger_resume_truncation(tmp_path):
+    from telugu_asr_tpu.train.loop import CSVLogger
+
+    path = str(tmp_path / "training.log")
+    logger = CSVLogger(path)
+    for epoch in (0, 1, 2, 3):
+        logger.log(epoch, 10.0 - epoch, 20.0 - epoch)
+    logger.truncate_from(2)  # resume restarts at epoch 2
+    logger.log(2, 7.5, 17.5)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "epoch,loss,val_loss"
+    assert [l.split(",")[0] for l in lines[1:]] == ["0", "1", "2"]
+    assert lines[3] == "2,7.500000,17.500000"
