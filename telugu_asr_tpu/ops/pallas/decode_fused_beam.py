@@ -202,6 +202,7 @@ def _kernel(
     pad_id: int,
     dedup: bool,
     quantized: bool = False,
+    probe: str = "none",
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -326,19 +327,34 @@ def _kernel(
     def flash_segment(q, kseg, vseg, valid, carry, ones_ref=onesb):
         m, den, acc = carry
         w = q.shape[-1]
+        if probe == "noseg":
+            return m, den, acc
         g = kseg * q[None]
-        si = head_sums(g.reshape(SEG * r, w), ones_ref).reshape(SEG, r, w)
-        si = jnp.where(valid, si, MASK_BIAS)
-        m2 = jnp.maximum(m, tree_max(si))
-        sc = jnp.exp(m - m2)
-        e = jnp.exp(si - m2)
+        if probe == "nomm":
+            si = g
+        else:
+            si = head_sums(g.reshape(SEG * r, w), ones_ref).reshape(SEG, r, w)
+        if probe != "nomask":
+            si = jnp.where(valid, si, MASK_BIAS)
+            m2 = jnp.maximum(m, tree_max(si))
+        else:
+            m2 = m
+        if probe == "noexp":
+            sc = m - m2
+            e = si - m2
+        else:
+            sc = jnp.exp(m - m2)
+            e = jnp.exp(si - m2)
         ev = e * vseg
-        wseg = SEG
-        te, tv = e, ev
-        while wseg > 1:
-            wseg //= 2
-            te = te[:wseg] + te[wseg:2 * wseg]
-            tv = tv[:wseg] + tv[wseg:2 * wseg]
+        if probe == "notree":
+            te, tv = e[:1], ev[:1]
+        else:
+            wseg = SEG
+            te, tv = e, ev
+            while wseg > 1:
+                wseg //= 2
+                te = te[:wseg] + te[wseg:2 * wseg]
+                tv = tv[:wseg] + tv[wseg:2 * wseg]
         return m2, den * sc + te, acc * sc + tv
 
     def flash_init(w=d):
@@ -426,10 +442,13 @@ def _kernel(
 
         # ---- log-softmax over the REAL vocab lanes (pad bias -1e30 makes
         # pad lanes irrelevant for max; they are excluded from the sum) ----
-        lmax = lane_allreduce(logits, jnp.maximum)
-        e = jnp.where(lane_v < vocab, jnp.exp(logits - lmax), 0.0)
-        lsum = jnp.dot(e, ones_vp[:], preferred_element_type=jnp.float32)
-        logp = logits - lmax - jnp.log(lsum)
+        if probe == "nologsm":
+            logp = logits
+        else:
+            lmax = lane_allreduce(logits, jnp.maximum)
+            e = jnp.where(lane_v < vocab, jnp.exp(logits - lmax), 0.0)
+            lsum = jnp.dot(e, ones_vp[:], preferred_element_type=jnp.float32)
+            logp = logits - lmax - jnp.log(lsum)
 
         # finished beams emit only PAD at zero cost (decode/beam.py law)
         fin_row = finished > 0
@@ -442,7 +461,7 @@ def _kernel(
         new_scores = scores
         new_cur = cur
         par_slot = q_iota
-        for j in range(kb):
+        for j in range(0 if probe == "notopk" else kb):
             gm = group_allreduce(lane_allreduce(cand, jnp.maximum), jnp.maximum)
             idxs = jnp.where(cand == gm, fidx, BIG_IDX)
             gi = group_allreduce(lane_allreduce(idxs, jnp.minimum), jnp.minimum)
@@ -478,7 +497,7 @@ def _kernel(
 
         # ---- eager cache reorder over the live columns ---------------------
         off3 = off[None]
-        for b in range(n_blocks):
+        for b in range(0 if probe == "noreorder" else n_blocks):
             for si_ in range(n_self_segs):
                 def reorder(b=b, si_=si_):
                     # Mosaic rotates are 32-bit only: bf16 caches reorder
@@ -496,6 +515,10 @@ def _kernel(
 
     def cond(carry):
         s, finished, _, _ = carry
+        if probe != "none":
+            # probes ablate math, so scores/argmaxes are garbage — pin the
+            # step count to the full cap so probe timings are comparable
+            return s < max_length
         return (s < max_length) & (jnp.min(finished) < 1)
 
     finished0 = tile_beams(row_pad[0], 0).astype(jnp.int32)    # [R, 1]
@@ -521,7 +544,8 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "cfg", "max_length", "beam_size", "bos_id", "eos_id", "pad_id",
-        "parity_unmasked_cross", "cache_dtype", "rows_per_cell", "interpret",
+        "parity_unmasked_cross", "cache_dtype", "rows_per_cell", "probe",
+        "interpret",
     ),
 )
 def fused_beam_search_decode(
@@ -541,6 +565,7 @@ def fused_beam_search_decode(
     parity_unmasked_cross: bool = False,
     cache_dtype: Optional[str] = None,
     rows_per_cell: Optional[int] = None,
+    probe: str = "none",
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole beam decode in one Pallas kernel.
@@ -829,6 +854,9 @@ def fused_beam_search_decode(
         pad_id=pad_id,
         dedup=dedup,
         quantized=quantized,
+        # development-only ablation hook (tools/probe_fused_costs.py --beam):
+        # output is numerically WRONG under any probe != "none"
+        probe=probe,
     )
 
     tokens2, scores2 = pl.pallas_call(

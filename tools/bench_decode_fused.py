@@ -42,6 +42,8 @@ def main() -> None:
                              "matmul; requires --deflate-scores)")
     parser.add_argument("--rows-per-cell", type=int, default=None,
                         help="pin the batch-row group size (default: auto)")
+    parser.add_argument("--beam", type=int, default=1,
+                        help=">1 times the fused BEAM kernel at width K instead")
     args = parser.parse_args()
 
     sys.path.insert(0, ".")
@@ -83,6 +85,38 @@ def main() -> None:
     feats, fl = featurizer(audio, lengths)
     enc_out, enc_mask = jax.jit(model.encode)(params, feats, fl)
     max_len = default_max_length(int(feats.shape[1]))
+
+    if args.beam > 1:
+        from telugu_asr_tpu.ops.pallas.decode_fused_beam import fused_beam_search_decode
+
+        @jax.jit
+        def decode(dec_params, emb, cls_w, cls_b, enc_out, enc_mask):
+            tok, sc = fused_beam_search_decode(
+                dec_params, model.cfg.decoder, enc_out, enc_mask, emb, cls_w,
+                cls_b, max_len, beam_size=args.beam,
+                bos_id=tokenizer.bos_token_id, eos_id=tokenizer.eos_token_id,
+                pad_id=tokenizer.pad_token_id, cache_dtype=args.cache_dtype,
+                probe=os.environ.get("TELUGU_FUSED_PROBE", "none"),
+                rows_per_cell=args.rows_per_cell,
+            )
+            return jnp.sum(tok) + jnp.sum(sc)
+
+        fargs = (dec_params, emb, cls_w, cls_b, enc_out, enc_mask)
+        float(decode(*fargs))  # compile
+
+        from telugu_asr_tpu.utils.timing import round_trip_baseline, sync_timer
+
+        med = sync_timer(decode, *fargs, trials=args.trials, inner=args.inner,
+                         round_trip=round_trip_baseline(lengths))
+        print(json.dumps({
+            "metric": "fused_beam_decode_ms",
+            "value": round(med * 1000, 3),
+            "unit": f"ms_per_decode_b{args.batch}_k{args.beam}_cap{max_len}",
+            "us_per_step": round(med * 1e6 / max_len, 2),
+            "int8": args.int8,
+            "cache_dtype": args.cache_dtype,
+        }))
+        return
 
     @jax.jit
     def decode(dec_params, emb, cls_w, cls_b, enc_out, enc_mask):

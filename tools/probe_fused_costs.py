@@ -29,11 +29,18 @@ import subprocess
 import sys
 
 PROBES = ["none", "noseg", "nomm", "nomask", "noexp", "notree"]
+# beam-only extra classes: the eager parent cache reorder, the K-extraction
+# top-K trees, and the per-group log-softmax
+BEAM_PROBES = PROBES + ["noreorder", "notopk", "nologsm"]
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--probes", default=",".join(PROBES))
+    parser.add_argument("--probes", default=None,
+                        help=f"default: {','.join(PROBES)} (greedy) / "
+                             f"{','.join(BEAM_PROBES)} (--beam)")
+    parser.add_argument("--beam", type=int, default=1,
+                        help=">1 probes the fused BEAM kernel at width K")
     parser.add_argument("--int8", action="store_true")
     parser.add_argument("--cache-dtype", default=None)
     parser.add_argument("--batch", type=int, default=64)
@@ -53,9 +60,12 @@ def main() -> None:
         base_cmd += ["--cache-dtype", args.cache_dtype]
     if args.rows_per_cell is not None:
         base_cmd += ["--rows-per-cell", str(args.rows_per_cell)]
+    if args.beam > 1:
+        base_cmd += ["--beam", str(args.beam)]
 
+    probes = args.probes or ",".join(BEAM_PROBES if args.beam > 1 else PROBES)
     results = {}
-    for probe in args.probes.split(","):
+    for probe in probes.split(","):
         env = dict(os.environ, TELUGU_FUSED_PROBE=probe)
         print(f"=== probe={probe} ===", flush=True)
         out = subprocess.run(base_cmd, env=env, capture_output=True, text=True)
