@@ -94,11 +94,18 @@ class ASRDataset:
         max_audio_seconds: float = 30.0,
         seed: int = 42,
         use_native: str = "auto",
+        transfer_dtype: Optional[str] = None,
     ):
         self.spec = spec
         self.tokenizer = tokenizer
         self.audio_quantum = audio_quantum
         self.text_quantum = text_quantum
+        # "int16": emit audio batches as PCM16 (rint(x·32768)) — HALF the
+        # host→device bytes; the featurizer dequantizes in-graph.  Bit-exact
+        # for WAV (PCM16) sources, ~3e-5 rounding otherwise.
+        if transfer_dtype not in (None, "float32", "int16"):
+            raise ValueError(f"transfer_dtype must be int16/float32, got {transfer_dtype}")
+        self.transfer_dtype = transfer_dtype
         self.max_audio_samples = int(max_audio_seconds * spec.sample_rate)
         self._rng = np.random.default_rng(seed)
         self._audio_cache: Optional[dict] = {} if spec.cache else None
@@ -180,8 +187,14 @@ class ASRDataset:
             lengths[row] = len(w)
         return audio, lengths, max_samples
 
+    def _quantize_audio(self, audio: np.ndarray) -> np.ndarray:
+        if self.transfer_dtype == "int16":
+            return np.clip(np.rint(audio * 32768.0), -32768, 32767).astype(np.int16)
+        return audio
+
     def _make_batch(self, indices: np.ndarray) -> tuple:
         audio, audio_lengths, _ = self._load_batch_audio(indices)
+        audio = self._quantize_audio(audio)
         tokens = [self._token_ids[i] for i in indices]
         # shifted = ids[:-1], targets = ids[1:] (dataset.py:187-190)
         max_tokens = _round_up(max(len(t) - 1 for t in tokens), self.text_quantum)
@@ -246,6 +259,7 @@ class TransducerASRDataset(ASRDataset):
         from telugu_asr_tpu.data.schemas import TransducerTargetLabels, TransducerTrainInput
 
         audio, audio_lengths, _ = self._load_batch_audio(indices)
+        audio = self._quantize_audio(audio)
         tokens = [self._token_ids[i] for i in indices]
         max_labels = _round_up(max(len(t) for t in tokens), self.text_quantum)
 

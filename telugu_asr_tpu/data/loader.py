@@ -18,8 +18,15 @@ _SENTINEL = object()
 
 
 class PrefetchLoader:
-    def __init__(self, iterator: Iterator, num_prefetch: int = 2):
+    def __init__(self, iterator: Iterator, num_prefetch: int = 2,
+                 transform: Optional[callable] = None):
+        """``transform`` runs in the worker thread on each item before it is
+        queued — pass the pad/shard/``jax.device_put`` closure here so the
+        host→device upload of batch N+1 overlaps the device's step N instead
+        of serializing inside the training loop (on a tunnelled TPU the
+        upload, not the step, is the critical path)."""
         self._source = iterator
+        self._transform = transform
         self._queue: queue.Queue = queue.Queue(maxsize=max(num_prefetch, 1))
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
@@ -31,6 +38,8 @@ class PrefetchLoader:
             for item in self._source:
                 if self._stop.is_set():
                     return
+                if self._transform is not None:
+                    item = self._transform(item)
                 self._queue.put(item)
         except BaseException as exc:  # surfaced on the consumer side
             self._error = exc

@@ -29,17 +29,20 @@ def prepare_featurizers(config: Config) -> Tuple[SpeechFeaturizer, TeluguTokeniz
 
 
 def prepare_training_datasets(
-    config: Config, tokenizer, base_dir: str = ".", seed: int = 42
+    config: Config, tokenizer, base_dir: str = ".", seed: int = 42,
+    transfer_dtype: str = None,
 ) -> Tuple[ASRDataset, ASRDataset]:
     train = ASRDataset(
         DatasetSpec.from_config(config.data_config["train_dataset_config"], base_dir),
         tokenizer,
         seed=seed,
+        transfer_dtype=transfer_dtype,
     )
     valid = ASRDataset(
         DatasetSpec.from_config(config.data_config["eval_dataset_config"], base_dir),
         tokenizer,
         seed=seed,
+        transfer_dtype=transfer_dtype,
     )
     return train, valid
 

@@ -108,19 +108,26 @@ def fit(
         csv_logger.truncate_from(start_epoch)
 
     rng = jax.random.PRNGKey(seed)
-    train_iter = PrefetchLoader(train_dataset.infinite_batches(batch_size), num_prefetch=2)
+    n_data = int(mesh.shape.get("data", 1))
+
+    def to_device(item):
+        # Runs in the prefetch thread: pad rows (PAD targets contribute zero
+        # CE) so the batch divides the data axis, then start the upload —
+        # batch N+1 crosses the host→device link while step N computes.
+        inputs, labels, _ = item
+        batch, _ = pad_batch_to_multiple({**inputs, **labels}, n_data)
+        return shard_batch(mesh, batch)
+
+    train_iter = PrefetchLoader(
+        train_dataset.infinite_batches(batch_size), num_prefetch=2,
+        transform=to_device,
+    )
 
     for epoch in range(start_epoch, num_epochs):
         t0 = time.perf_counter()
         losses = []
-        n_data = int(mesh.shape.get("data", 1))
         for _ in range(steps_per_epoch):
-            inputs, labels, _ = next(train_iter)
-            batch = {**inputs, **labels}
-            # Pad rows (PAD targets contribute zero CE) so the batch divides
-            # the data axis; loss scaling uses the fixed global batch size.
-            batch, _ = pad_batch_to_multiple(batch, n_data)
-            batch = shard_batch(mesh, batch)
+            batch = next(train_iter)
             state, metrics = train_step(state, batch, rng)
             losses.append(metrics["loss"])
             if on_step is not None:

@@ -116,3 +116,27 @@ def test_prefetch_loader_propagates_errors():
     with pytest.raises(ValueError):
         next(loader)
         next(loader)
+
+
+def test_prefetch_loader_transform_runs_in_worker():
+    loader = PrefetchLoader(iter([1, 2, 3]), transform=lambda x: x * 10)
+    assert list(loader) == [10, 20, 30]
+
+
+def test_int16_transfer_bit_exact_for_pcm16(tiny_corpus):
+    """int16 transfer (train.py default) must reproduce the float pipeline
+    BIT-exactly for PCM16 wav sources: rint(x*32768)/32768 == x."""
+    import jax.numpy as jnp
+
+    from telugu_asr_tpu.audio.featurizer import FeaturizerConfig, SpeechFeaturizer
+
+    tok = make_default_tokenizer()
+    spec = DatasetSpec(data_paths=[tiny_corpus], stage="test", drop_remainder=False)
+    ds_f32 = ASRDataset(spec, tok)
+    ds_i16 = ASRDataset(spec, tok, transfer_dtype="int16")
+    (in_f, _, _), (in_i, _, _) = next(ds_f32.batches(4)), next(ds_i16.batches(4))
+    assert in_i["audio"].dtype == np.int16
+    feat = SpeechFeaturizer(FeaturizerConfig(normalize_signal=True))
+    f_ref, _ = feat(jnp.asarray(in_f["audio"]), jnp.asarray(in_f["audio_lengths"]))
+    f_q, _ = feat(jnp.asarray(in_i["audio"]), jnp.asarray(in_i["audio_lengths"]))
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(f_q))

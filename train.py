@@ -37,6 +37,12 @@ def main() -> None:
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
     )
+    parser.add_argument(
+        "--f32-transfer", action="store_true",
+        help="ship audio batches to the device as float32 (default: int16 "
+             "PCM at half the bytes — bit-exact for WAV sources; the "
+             "featurizer dequantizes in-graph)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
@@ -71,13 +77,14 @@ def main() -> None:
         from telugu_asr_tpu.text import make_transducer_tokenizer
 
         tokenizer = make_transducer_tokenizer()
+        transfer = None if args.f32_transfer else "int16"
         train_ds = TransducerASRDataset(
             DatasetSpec.from_config(config.data_config["train_dataset_config"], args.base_dir),
-            tokenizer, seed=args.seed,
+            tokenizer, seed=args.seed, transfer_dtype=transfer,
         )
         valid_ds = TransducerASRDataset(
             DatasetSpec.from_config(config.data_config["eval_dataset_config"], args.base_dir),
-            tokenizer, seed=args.seed,
+            tokenizer, seed=args.seed, transfer_dtype=transfer,
         )
         model = Conformer(
             ConformerConfig.from_model_config(config.model_config, tokenizer.vocab_size)
@@ -85,7 +92,8 @@ def main() -> None:
         params, model_state = model.init(jax.random.PRNGKey(args.seed))
     else:
         train_ds, valid_ds = prepare_training_datasets(
-            config, tokenizer, args.base_dir, args.seed
+            config, tokenizer, args.base_dir, args.seed,
+            transfer_dtype=None if args.f32_transfer else "int16",
         )
         model = ASRModel(
             MoonshineConfig.from_model_config(config.model_config, tokenizer.vocab_size)
