@@ -496,20 +496,37 @@ def _kernel(
         )
 
         # ---- eager cache reorder over the live columns ---------------------
+        # Identity steps skip the whole sweep: once a group's beams settle
+        # (every row adopts its own slot's winner — the steady state of
+        # finished groups after one sorting step, and common in the EOS tail
+        # of live ones) the gather is the identity and the K-1 roll+select
+        # passes over every live segment buy nothing.  ``off == 0``
+        # everywhere is exactly that case, so the skip is exact.  Probe
+        # modes bypass the gate (their ablated scores make ``off`` garbage;
+        # pinned-cap probe timings must stay workload-independent).
         off3 = off[None]
-        for b in range(0 if probe == "noreorder" else n_blocks):
-            for si_ in range(n_self_segs):
-                def reorder(b=b, si_=si_):
-                    # Mosaic rotates are 32-bit only: bf16 caches reorder
-                    # through f32 (one up/down-cast per live segment)
-                    ks = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                    vs = vself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
-                    kself[b, si_ * SEG:(si_ + 1) * SEG] = group_sel(
-                        ks, off3, axis=1).astype(kself.dtype)
-                    vself[b, si_ * SEG:(si_ + 1) * SEG] = group_sel(
-                        vs, off3, axis=1).astype(vself.dtype)
 
-                jax.lax.cond(si_ * SEG <= s, reorder, lambda: None)
+        def do_reorder():
+            for b in range(n_blocks):
+                for si_ in range(n_self_segs):
+                    def reorder(b=b, si_=si_):
+                        # Mosaic rotates are 32-bit only: bf16 caches reorder
+                        # through f32 (one up/down-cast per live segment)
+                        ks = kself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                        vs = vself[b, si_ * SEG:(si_ + 1) * SEG].astype(jnp.float32)
+                        kself[b, si_ * SEG:(si_ + 1) * SEG] = group_sel(
+                            ks, off3, axis=1).astype(kself.dtype)
+                        vself[b, si_ * SEG:(si_ + 1) * SEG] = group_sel(
+                            vs, off3, axis=1).astype(vself.dtype)
+
+                    jax.lax.cond(si_ * SEG <= s, reorder, lambda: None)
+
+        if probe == "noreorder":
+            pass
+        elif probe != "none":
+            do_reorder()
+        else:
+            jax.lax.cond(jnp.max(off) > 0, do_reorder, lambda: None)
 
         return s + 1, finished, new_cur, new_scores
 
