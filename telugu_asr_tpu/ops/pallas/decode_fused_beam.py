@@ -130,7 +130,7 @@ def _pick_rows_beam(flat: int, kb: int, n_blocks: int, d: int, lp: int,
             2 * n_blocks * lp * tile_rows(rows, cache_bytes) * dp * cache_bytes
             + 2 * n_blocks * tc * tile_rows(cross_rows, cache_bytes) * dp * cache_bytes
             + temps
-            + rows * (lp + 6 * vp) * 4
+            + rows * (2 * lp + 6 * vp) * 4  # token + ancestor ledgers + topk temps
         )
         if weight_bytes + cell <= _VMEM_BUDGET:
             best = rows
@@ -209,8 +209,8 @@ def _kernel(
 
     rest = list(rest)
     (crossk, crossv, cross_valid, qzero, row_pad,
-     tok_out, score_out, tok_hist, kself, vself,
-     crossk_v, crossv_v, sem_k, sem_v) = rest[-14:]
+     tok_out, score_out, tok_hist, anc_hist, kself, vself,
+     crossk_v, crossv_v, sem_k, sem_v) = rest[-15:]
     if quantized:
         # int8-resident serving (same law as decode_fused._kernel): matmul
         # weights arrive int8 with per-output-channel scales; ``mmq``
@@ -371,6 +371,13 @@ def _kernel(
     ck_copy.start()
     cv_copy.start()
     tok_hist[:] = jnp.where(lane_l == 0, bos_id, pad_id).astype(jnp.int32)
+    # Ancestor ledger: anc_hist[r, c] = which group slot ORIGINALLY wrote the
+    # K/V values row r currently holds at column c.  Values only ever move by
+    # exact selects, so ``all slots agree at column c`` ⇔ the group's K rows
+    # hold BIT-IDENTICAL cache values there ⇔ reordering that column is a
+    # no-op.  Column 0 (BOS) is identical across beams at write (same token,
+    # same weights): born converged (slot 0 for everyone).
+    anc_hist[:] = jnp.where(lane_l == 0, 0, q_iota)
     kself[:] = jnp.zeros(kself.shape, kself.dtype)
     vself[:] = jnp.zeros(vself.shape, vself.dtype)
     ck_copy.wait()
@@ -379,6 +386,9 @@ def _kernel(
     # ---- decode loop ---------------------------------------------------------
     def body(carry):
         s, finished, cur, scores = carry
+        # This step writes K/V at column s: stamp its ownership (step 0 is
+        # the BOS write — identical across beams, so it stays slot 0).
+        anc_hist[:] = jnp.where((lane_l == s) & (s > 0), q_iota, anc_hist[:])
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (r, vp), 1) == cur)
         x = mmq(onehot.astype(jnp.float32), emb, emb_s)
 
@@ -507,6 +517,31 @@ def _kernel(
         off3 = off[None]
 
         def do_reorder():
+            # Convergence horizon: rows only ever read their OWN row's cache,
+            # and the ancestor ledger proves columns < h hold bit-identical
+            # values across each group's live rows — gathering them is the
+            # identity, so segments entirely below h skip.  In a real beam
+            # decode the divergence window is the recent tokens only, which
+            # collapses the reorder sweep from O(whole live history) to
+            # O(tail) — the 64%-of-step-time term the K=8 probe exposed.
+            a = anc_hist[:]
+            if k_true < kb:
+                # dead pow2-padding slots receive arbitrary winners and never
+                # converge; they are born finished and never parent or feed a
+                # live row, so exclude them from the agreement test
+                dead = q_iota >= k_true
+                a_hi = jnp.where(dead, -1, a)
+                a_lo = jnp.where(dead, BIG_IDX, a)
+            else:
+                a_hi = a_lo = a
+            gmax = group_allreduce(a_hi, jnp.maximum)
+            gmin = group_allreduce(a_lo, jnp.minimum)
+            conv = (gmax == gmin) | (lane_l > s)
+            h = jnp.min(jnp.where(conv, BIG_IDX, lane_l))
+            if probe != "none":
+                # probes must measure the FULL eager sweep (comparable to
+                # the ablation baselines), not the workload-dependent skip
+                h = jnp.int32(-1)
             for b in range(n_blocks):
                 for si_ in range(n_self_segs):
                     def reorder(b=b, si_=si_):
@@ -519,13 +554,20 @@ def _kernel(
                         vself[b, si_ * SEG:(si_ + 1) * SEG] = group_sel(
                             vs, off3, axis=1).astype(vself.dtype)
 
-                    jax.lax.cond(si_ * SEG <= s, reorder, lambda: None)
+                    jax.lax.cond(
+                        (si_ * SEG <= s) & ((si_ + 1) * SEG > h),
+                        reorder, lambda: None,
+                    )
+            # the ledger itself always gathers (cheap [R, Lp] rolls)
+            anc_hist[:] = group_sel(anc_hist[:], off, axis=0)
 
         if probe == "noreorder":
             pass
         elif probe != "none":
             do_reorder()
         else:
+            # off == 0 everywhere ⇒ every gather (caches AND ledger) is the
+            # identity: skip the whole sweep
             jax.lax.cond(jnp.max(off) > 0, do_reorder, lambda: None)
 
         return s + 1, finished, new_cur, new_scores
@@ -890,6 +932,7 @@ def fused_beam_search_decode(
         ],
         scratch_shapes=[
             pltpu.VMEM((rows, lp), jnp.int32),
+            pltpu.VMEM((rows, lp), jnp.int32),   # ancestor ledger
             pltpu.VMEM((nb, lp, rows, d), cdtype),
             pltpu.VMEM((nb, lp, rows, d), cdtype),
             pltpu.VMEM((nb, tc, cross_rows, dpad), cdtype),
