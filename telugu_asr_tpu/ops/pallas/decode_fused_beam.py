@@ -57,6 +57,7 @@ deflate / combine-kv opt-ins stay greedy-only until profiled here).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -77,6 +78,12 @@ from telugu_asr_tpu.ops.pallas.decode_fused import (
 )
 
 __all__ = ["fused_beam_search_decode", "fused_beam_supported", "fused_beam_fits"]
+
+# A/B override: force the pre-ledger eager full-sweep reorder (no identity-
+# step skip, no convergence horizon).  Read at trace time — use a fresh
+# process per setting (bench/test runs are subprocesses anyway).  Exact
+# either way; exists so the ledger's win can be measured on real workloads.
+_FORCE_EAGER = os.environ.get("TELUGU_BEAM_EAGER", "") == "1"
 
 NEG_INF = -1e9  # decode/beam.py score floor (NOT the mask bias)
 BIG_IDX = np.int32(2 ** 30)
@@ -538,7 +545,7 @@ def _kernel(
             gmin = group_allreduce(a_lo, jnp.minimum)
             conv = (gmax == gmin) | (lane_l > s)
             h = jnp.min(jnp.where(conv, BIG_IDX, lane_l))
-            if probe != "none":
+            if probe != "none" or _FORCE_EAGER:
                 # probes must measure the FULL eager sweep (comparable to
                 # the ablation baselines), not the workload-dependent skip
                 h = jnp.int32(-1)
@@ -563,7 +570,7 @@ def _kernel(
 
         if probe == "noreorder":
             pass
-        elif probe != "none":
+        elif probe != "none" or _FORCE_EAGER:
             do_reorder()
         else:
             # off == 0 everywhere ⇒ every gather (caches AND ledger) is the
