@@ -32,8 +32,18 @@ def resolve_schedule(lr_config) -> Callable:
     raise ValueError(f"unsupported LR schedule: {class_name}")
 
 
-def make_optimizer(optimizer_config) -> Tuple[optax.GradientTransformation, Callable]:
-    """``optimizer_config`` dict → (optax optimizer, schedule fn)."""
+def make_optimizer(
+    optimizer_config, clip_norm: float | None = None
+) -> Tuple[optax.GradientTransformation, Callable]:
+    """``optimizer_config`` dict → (optax optimizer, schedule fn).
+
+    ``global_clipnorm`` in the config dict (the Keras optimizer kwarg the
+    reference schema would carry it under) or an explicit ``clip_norm``
+    argument prepends global-norm gradient clipping.  High-LR recipes (the
+    HPO winner peaks at 5e-3) measurably need it: the synth20k run rattled
+    through warmup peak and collapsed out of its audio-conditioned minimum
+    into the text-LM basin (val 1.5 → 19) without clipping.
+    """
     cfg = dict(optimizer_config)
     class_name = str(cfg.get("class_name", "Adam")).lower()
     params = dict(cfg.get("config", {}))
@@ -57,4 +67,7 @@ def make_optimizer(optimizer_config) -> Tuple[optax.GradientTransformation, Call
         opt = optax.sgd(learning_rate=schedule, momentum=float(params.get("momentum", 0.0)))
     else:
         raise ValueError(f"unsupported optimizer: {class_name}")
+    clip = clip_norm if clip_norm is not None else params.get("global_clipnorm")
+    if clip:
+        opt = optax.chain(optax.clip_by_global_norm(float(clip)), opt)
     return opt, schedule

@@ -12,6 +12,7 @@ from __future__ import annotations
 import csv
 import logging
 import os
+import shutil
 import time
 from typing import Callable, Optional
 
@@ -62,6 +63,22 @@ class CSVLogger:
                 csv.writer(f).writerows(kept)
 
 
+def _best_val_from_log(path: str) -> Optional[float]:
+    """Lowest val_loss in a (possibly resumed+truncated) training.log CSV."""
+    if not os.path.exists(path):
+        return None
+    best = None
+    with open(path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            try:
+                v = float(row.get("val_loss") or "")
+            except ValueError:
+                continue
+            if best is None or v < best:
+                best = v
+    return best
+
+
 def fit(
     *,
     train_step: Callable,
@@ -89,6 +106,13 @@ def fit(
     """
     os.makedirs(run_dir, exist_ok=True)
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"), checkpoint_max_to_keep)
+    # Best-val retention, SEPARATE from the recency window: with a bounded
+    # max_to_keep a late-training collapse silently deletes the best model
+    # (observed: synth20k HPO-winner run fell out of its val-1.5 minimum into
+    # the val-19 text-LM basin at epochs 48-60 and only post-collapse
+    # checkpoints survived).  ``checkpoints_best/`` always holds the lowest
+    # val_loss epoch; resume keeps using the recency window.
+    best_ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints_best"), 1)
     csv_logger = CSVLogger(os.path.join(run_dir, "training.log"))
     if mesh is None:
         mesh = make_mesh(("data",))
@@ -106,6 +130,16 @@ def fit(
             # checkpoint) so the metrics CSV never holds conflicting records.
             metrics_logger.truncate_after(int(state.step))
         csv_logger.truncate_from(start_epoch)
+
+    best_val = _best_val_from_log(csv_logger.path)
+    best_step = best_ckpt.latest_step()
+    if best_step is not None and best_step > start_epoch:
+        # best checkpoint from an abandoned future (crash + resume from an
+        # older recency checkpoint): epoch numbering will be reused, so the
+        # stale entry must go — the best tracker restarts from the CSV's
+        # surviving (truncated) history.
+        shutil.rmtree(best_ckpt.directory, ignore_errors=True)
+        best_ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints_best"), 1)
 
     rng = jax.random.PRNGKey(seed)
     n_data = int(mesh.shape.get("data", 1))
@@ -166,7 +200,11 @@ def fit(
         if metrics_logger is not None:
             metrics_logger.log(int(state.step), epoch_metrics)
         ckpt.save(epoch + 1, state)
+        if val_loss is not None and (best_val is None or val_loss < best_val):
+            best_val = val_loss
+            best_ckpt.save(epoch + 1, state)
 
+    best_ckpt.wait()
     ckpt.wait()
     train_iter.close()
     return state

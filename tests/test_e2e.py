@@ -137,3 +137,84 @@ def test_quick_val_wer(corpus, setup):
     metrics = quick_val_wer(model, params, feat, ds, batch_size=3, max_batches=1)
     assert set(metrics) == {"val_wer", "val_cer"}
     assert metrics["val_cer"] >= 0.0
+
+
+def test_best_val_checkpoint_retention(corpus, setup, tmp_path):
+    """checkpoints_best/ always holds the lowest-val epoch, surviving a
+    late-training collapse that rotates the best model out of the recency
+    window (observed on the synth20k HPO-winner run: val 1.5 → 19 at the
+    end, max_to_keep=3 kept only post-collapse epochs)."""
+    tok, model, feat, opt = setup
+    run_dir = str(tmp_path / "run")
+    ds = ASRDataset(
+        DatasetSpec(data_paths=[corpus], stage="train", shuffle=True, drop_remainder=True),
+        tok,
+        audio_quantum=8000,
+        text_quantum=4,
+    )
+    train_step = make_train_step(model, opt, feat, global_batch_size=2, l2=0.0, donate=False)
+
+    # scripted per-epoch val losses: best at epoch 2, then a collapse
+    scripted = [5.0, 2.0, 7.0, 9.0]
+    n_val_batches = sum(1 for _ in ds.batches(2))
+    calls = {"n": 0}
+
+    def eval_step(state, batch):
+        epoch = min(calls["n"] // n_val_batches, len(scripted) - 1)
+        calls["n"] += 1
+        return {"loss": scripted[epoch]}
+
+    state = TrainState.create(model.init(jax.random.PRNGKey(0)), opt)
+    fit(
+        train_step=train_step,
+        eval_step=eval_step,
+        state=state,
+        train_dataset=ds,
+        valid_dataset=ds,
+        batch_size=2,
+        num_epochs=4,
+        run_dir=run_dir,
+        steps_per_epoch=1,
+        checkpoint_max_to_keep=2,
+    )
+    best = CheckpointManager(os.path.join(run_dir, "checkpoints_best"))
+    assert best.latest_step() == 2          # the val-2.0 epoch survived
+    recents = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    assert recents.latest_step() == 4       # recency window unaffected
+
+    # resume for 2 more epochs with WORSE val: best stays at epoch 2
+    calls["n"] = 0
+    scripted[:] = [8.0, 8.5, 8.0, 8.0, 8.0, 8.0]
+    state2 = TrainState.create(model.init(jax.random.PRNGKey(1)), opt)
+    fit(
+        train_step=train_step,
+        eval_step=eval_step,
+        state=state2,
+        train_dataset=ds,
+        valid_dataset=ds,
+        batch_size=2,
+        num_epochs=6,
+        run_dir=run_dir,
+        steps_per_epoch=1,
+        checkpoint_max_to_keep=2,
+    )
+    assert CheckpointManager(os.path.join(run_dir, "checkpoints_best")).latest_step() == 2
+
+
+def test_make_optimizer_global_clipnorm():
+    # SGD makes clipping directly observable: update == -lr * clipped_grad.
+    grads = {"w": np.full((4,), 100.0, np.float32)}   # global norm 200
+    params = {"w": np.zeros((4,), np.float32)}
+    for spec, clip_arg in (
+        ({"class_name": "sgd", "config": {"learning_rate": 1.0, "global_clipnorm": 1.0}}, None),
+        ({"class_name": "sgd", "config": {"learning_rate": 1.0}}, 1.0),  # CLI override path
+    ):
+        opt, _ = make_optimizer(spec, clip_norm=clip_arg)
+        updates, _ = opt.update(grads, opt.init(params), params)
+        u = np.asarray(updates["w"], np.float64)
+        np.testing.assert_allclose(np.sqrt((u ** 2).sum()), 1.0, rtol=1e-5)
+    # unclipped control
+    opt, _ = make_optimizer({"class_name": "sgd", "config": {"learning_rate": 1.0}})
+    updates, _ = opt.update(grads, opt.init(params), params)
+    u = np.asarray(updates["w"], np.float64)
+    np.testing.assert_allclose(np.sqrt((u ** 2).sum()), 200.0, rtol=1e-5)

@@ -38,6 +38,11 @@ def main() -> None:
         help="force a JAX backend (default: auto — the TPU when present)",
     )
     parser.add_argument(
+        "--clip-norm", type=float, default=None,
+        help="global-norm gradient clipping (overrides the optimizer "
+             "config's global_clipnorm; unset = no clipping)",
+    )
+    parser.add_argument(
         "--f32-transfer", action="store_true",
         help="ship audio batches to the device as float32 (default: int16 "
              "PCM at half the bytes — bit-exact for WAV sources; the "
@@ -104,7 +109,9 @@ def main() -> None:
     logger.info("model params: %.3fM", model.num_params(params) / 1e6)
 
     running = config.learning_config["running_config"]
-    optimizer, schedule = make_optimizer(config.learning_config["optimizer_config"])
+    optimizer, schedule = make_optimizer(
+        config.learning_config["optimizer_config"], clip_norm=args.clip_norm
+    )
     mesh = make_mesh(("data",))
     batch_size = args.batch_size or int(running.get("batch_size", 8))
     # global batch = per-replica batch x replica count (dataset_helpers.py:112)
