@@ -63,6 +63,15 @@ class CSVLogger:
                 csv.writer(f).writerows(kept)
 
 
+def _latest_step_in_dir(directory: str) -> Optional[int]:
+    """Largest numeric step subdir of an Orbax checkpoint dir, without
+    constructing a CheckpointManager (which spins up writer threads)."""
+    if not os.path.isdir(directory):
+        return None
+    steps = [int(d) for d in os.listdir(directory) if d.isdigit()]
+    return max(steps) if steps else None
+
+
 def _best_val_from_log(path: str) -> Optional[float]:
     """Lowest val_loss in a (possibly resumed+truncated) training.log CSV."""
     if not os.path.exists(path):
@@ -111,8 +120,17 @@ def fit(
     # (observed: synth20k HPO-winner run fell out of its val-1.5 minimum into
     # the val-19 text-LM basin at epochs 48-60 and only post-collapse
     # checkpoints survived).  ``checkpoints_best/`` always holds the lowest
-    # val_loss epoch; resume keeps using the recency window.
-    best_ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints_best"), 1)
+    # val_loss epoch; resume keeps using the recency window.  The manager is
+    # created lazily at first save — most epochs don't set a new best, and
+    # manager construction is not free (async writer threads + barrier sync).
+    best_dir = os.path.join(run_dir, "checkpoints_best")
+    best_mgr: list = [None]
+
+    def best_ckpt_mgr() -> CheckpointManager:
+        if best_mgr[0] is None:
+            best_mgr[0] = CheckpointManager(best_dir, 1)
+        return best_mgr[0]
+
     csv_logger = CSVLogger(os.path.join(run_dir, "training.log"))
     if mesh is None:
         mesh = make_mesh(("data",))
@@ -132,14 +150,13 @@ def fit(
         csv_logger.truncate_from(start_epoch)
 
     best_val = _best_val_from_log(csv_logger.path)
-    best_step = best_ckpt.latest_step()
+    best_step = _latest_step_in_dir(best_dir)
     if best_step is not None and best_step > start_epoch:
         # best checkpoint from an abandoned future (crash + resume from an
         # older recency checkpoint): epoch numbering will be reused, so the
         # stale entry must go — the best tracker restarts from the CSV's
         # surviving (truncated) history.
-        shutil.rmtree(best_ckpt.directory, ignore_errors=True)
-        best_ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints_best"), 1)
+        shutil.rmtree(best_dir, ignore_errors=True)
 
     rng = jax.random.PRNGKey(seed)
     n_data = int(mesh.shape.get("data", 1))
@@ -202,9 +219,10 @@ def fit(
         ckpt.save(epoch + 1, state)
         if val_loss is not None and (best_val is None or val_loss < best_val):
             best_val = val_loss
-            best_ckpt.save(epoch + 1, state)
+            best_ckpt_mgr().save(epoch + 1, state)
 
-    best_ckpt.wait()
+    if best_mgr[0] is not None:
+        best_mgr[0].wait()
     ckpt.wait()
     train_iter.close()
     return state
