@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
@@ -678,6 +679,38 @@ def bench_conformer_beam(beam_size: int = 4) -> dict:
     }
 
 
+def _backend_watchdog(timeout_s: float = 300.0) -> None:
+    """Fail FAST and machine-readably when the device backend is unreachable.
+
+    The axon tunnel can wedge entirely (observed 2026-08-21: every client
+    blocked in backend init for 45+ min while the host stayed healthy).  A
+    bench that hangs forever poisons the driver's capture; a diagnostic JSON
+    line does not.  The probe (backend init + a tiny reduction) runs in a
+    daemon thread so a wedged PJRT client can't block interpreter exit."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        float(jnp.sum(jnp.ones((8, 8))))  # forces backend init + round trip
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(json.dumps({
+            "metric": "rtfx", "value": None, "unit": "x_realtime",
+            "vs_baseline": None,
+            "error": "backend_unreachable",
+            "weather": {"degraded": True,
+                        "probe_timeout_s": timeout_s,
+                        "verdict": "device_backend_unreachable_no_measurement"},
+        }))
+        os._exit(3)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--family", choices=("moonshine", "conformer"),
@@ -717,6 +750,7 @@ def main() -> None:
         # before any backend init; the bench fns' own setup_environment()
         # calls pass platform=None and leave this in place
         setup_environment(platform=args.platform)
+    _backend_watchdog()
     if args.mode == "train":
         fn = bench_moonshine_train if args.family == "moonshine" else bench_conformer_train
         out = fn(args.batch) if args.batch else fn()
