@@ -143,6 +143,7 @@ def _select_best(generated, scores, length_penalty: float, pad_id: int):
     static_argnames=(
         "model", "max_length", "beam_size", "bos_id", "eos_id", "pad_id",
         "length_penalty", "cache_dtype", "lazy_reorder", "attention_impl",
+        "repetition_penalty", "no_repeat_ngram",
     ),
 )
 def beam_search_decode(
@@ -157,6 +158,8 @@ def beam_search_decode(
     eos_id: int = 1,
     pad_id: int = 2,
     length_penalty: float = 0.0,
+    repetition_penalty: float = 1.0,
+    no_repeat_ngram: int = 0,
     cache_dtype: Optional[str] = None,
     lazy_reorder: bool = True,
     attention_impl: Optional[str] = None,
@@ -172,6 +175,21 @@ def beam_search_decode(
     ACCUMULATE float differences, unlike greedy's memoryless argmax) —
     measured ~3e-4/step score drift on v5e; on trained models hypotheses
     separate decisively and flips land on near-equivalent beams.
+
+    Exposure-bias controls (both OFF by default — parity with the
+    reference's unconstrained decode; they target the free-running
+    repetition loops a trained seq2seq model falls into past its training
+    length distribution):
+
+    * ``repetition_penalty`` (CTRL-style, >1.0 activates): tokens already
+      emitted by a hypothesis get their log-prob multiplied by the penalty
+      (log-probs are ≤0, so >1 demotes) at every step.
+    * ``no_repeat_ngram`` (n≥2 activates): a token is hard-banned (−1e9)
+      when emitting it would repeat an n-gram already present in the
+      hypothesis; EOS is never banned (the escape from a loop stays open).
+
+    Both run inside the search (XLA path only — ``auto`` impl resolution
+    falls back from the fused kernel when either is active).
 
     ``lazy_reorder=True`` (default, xla path) runs the ancestor-weighted
     self-attention (:func:`_lazy_self_mha`): no per-step cache gather at
@@ -192,7 +210,19 @@ def beam_search_decode(
         params["decoder"], params["text_embedding"]["table"],
         params["classifier"]["kernel"],
     )
+    penalties_active = repetition_penalty != 1.0 or no_repeat_ngram > 0
+    if no_repeat_ngram == 1:
+        raise ValueError("no_repeat_ngram=1 would ban every repeated token "
+                         "outright; use repetition_penalty for soft control "
+                         "or n>=2 for n-gram blocking")
     impl = attention_impl if attention_impl in ("xla", "fused") else None
+    if impl == "fused" and penalties_active:
+        raise ValueError(
+            "repetition_penalty / no_repeat_ngram run in the XLA search "
+            "loop only; drop attention_impl='fused' (auto picks xla)"
+        )
+    if impl is None and penalties_active:
+        impl = "xla"
     if impl is None:
         from telugu_asr_tpu.ops.pallas.decode_fused_beam import fused_beam_fits
 
@@ -279,6 +309,47 @@ def beam_search_decode(
             model.classify(params, dec_out)[:, 0, :].astype(jnp.float32), axis=-1
         )  # [flat, V]
         vocab = logp.shape[-1]
+        rows = jnp.arange(flat)
+        if repetition_penalty != 1.0:
+            # CTRL-style demotion of already-emitted tokens.  Live rows
+            # contain no PAD/EOS before `step`, but the PAD column is
+            # cleared anyway so the finished-row override below can never
+            # fight a penalty.
+            valid_pos = jnp.arange(max_length + 1)[None, :] <= step
+            tok_m = jnp.where(valid_pos, tokens, pad_id)
+            seen = (
+                jnp.zeros((flat, vocab), bool)
+                .at[rows[:, None], tok_m]
+                .max(jnp.broadcast_to(valid_pos, tok_m.shape))
+            )
+            seen = seen.at[:, pad_id].set(False)
+            logp = jnp.where(seen, logp * repetition_penalty, logp)
+        if no_repeat_ngram > 0:
+            n = no_repeat_ngram
+            length1 = max_length + 1
+            # shifted[j][:, i] = tokens[:, i+j] (PAD past the end)
+            shifted = [
+                tokens if j == 0 else jnp.concatenate(
+                    [tokens[:, j:],
+                     jnp.full((flat, j), pad_id, jnp.int32)], axis=1)
+                for j in range(n)
+            ]
+            # the hypothesis suffix: its last n-1 tokens, ending at `step`
+            match = jnp.ones((flat, length1), bool)
+            for j in range(n - 1):
+                sfx_j = tokens[rows, jnp.clip(step - (n - 2) + j, 0, max_length)]
+                match &= shifted[j] == sfx_j[:, None]
+            # candidate window [i, i+n-1] must lie fully in the past
+            match &= (jnp.arange(length1)[None, :] + (n - 1)) <= step
+            match &= step >= (n - 1)
+            banned_tok = shifted[n - 1]
+            ban = (
+                jnp.zeros((flat, vocab), bool)
+                .at[rows[:, None], jnp.where(match, banned_tok, pad_id)]
+                .max(match)
+            )
+            ban = ban.at[:, pad_id].set(False).at[:, eos_id].set(False)
+            logp = jnp.where(ban, NEG_INF, logp)
         # finished beams emit only PAD at zero cost
         pad_only = jnp.full((vocab,), NEG_INF).at[pad_id].set(0.0)
         logp = jnp.where(finished[:, None], pad_only[None, :], logp)

@@ -92,6 +92,7 @@ def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int
         "cache_dtype",
         "cross_cache_dtype",
         "attention_impl",
+        "fast_segments",
     ),
 )
 def greedy_decode(
@@ -111,8 +112,13 @@ def greedy_decode(
     forced_prefix: Optional[jnp.ndarray] = None,
     forced_length=None,
     max_new_tokens: Optional[int] = None,
+    fast_segments: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
+
+    ``fast_segments=True`` (fused kernel only) runs the per-segment vector
+    chain in bfloat16 — the fastest serving mode; its WER delta vs f32 is
+    pinned by tools/precision_wer_study.py on the trained checkpoint.
 
     ``tokens`` holds the generated sequence (EOS inclusive) padded with PAD,
     exactly the layout ``_perform_greedy_batch`` stacks (:147-163).
@@ -162,6 +168,9 @@ def greedy_decode(
             cross_cache_dtype=cross_cache_dtype,
         ):
             impl = "xla"
+    if fast_segments and impl != "fused":
+        raise ValueError("fast_segments is a fused-kernel mode (TPU); "
+                         "the XLA/tiled paths compute segments in f32")
     if impl == "fused":
         from telugu_asr_tpu.ops.pallas.decode_fused import fused_greedy_decode
 
@@ -182,6 +191,7 @@ def greedy_decode(
             parity_unmasked_cross=parity_unmasked_cross,
             cache_dtype=cache_dtype,
             cross_cache_dtype=cross_cache_dtype,
+            fast_segments=fast_segments,
         )
     if cache_dtype == "int8" or cross_cache_dtype == "int8":
         raise ValueError(

@@ -83,7 +83,10 @@ def predict_batches(
     parity_unmasked_cross: bool = False,
     max_length_quantum: int = 8,
     cache_dtype=None,
+    cross_cache_dtype=None,
+    fast_segments: bool = False,
     beam_size: int = 1,
+    decode_opts: dict = None,
     prefetch_depth: int = 2,
 ):
     """Yield ``(entry_indices, hypothesis_texts, groundtruth_texts)`` per batch.
@@ -100,6 +103,11 @@ def predict_batches(
     max(transfer, compute) instead of their sum.
     """
     tokenizer = dataset.tokenizer
+    decode_opts = dict(decode_opts or {})  # beam-only exposure-bias knobs
+    if beam_size > 1 and (cross_cache_dtype is not None or fast_segments):
+        raise ValueError("cross_cache_dtype / fast_segments are greedy "
+                         "fused-kernel modes; beam search takes cache_dtype "
+                         "and decode_opts only")
 
     def to_device(inputs):
         # PCM is inherently 16-bit; ship int16 and rescale on device.
@@ -121,6 +129,7 @@ def predict_batches(
                 eos_id=tokenizer.eos_token_id,
                 pad_id=tokenizer.pad_token_id,
                 cache_dtype=cache_dtype,
+                **decode_opts,
             )
             return tokens
         tokens, _ = greedy_decode(
@@ -134,6 +143,8 @@ def predict_batches(
             pad_id=tokenizer.pad_token_id,
             parity_unmasked_cross=parity_unmasked_cross,
             cache_dtype=cache_dtype,
+            cross_cache_dtype=cross_cache_dtype,
+            fast_segments=fast_segments,
         )
         return tokens
 
@@ -208,6 +219,10 @@ def run_testing(
     family: str = "moonshine",
     model_state: dict = None,
     beam_size: int = 1,
+    decode_opts: dict = None,
+    cache_dtype=None,
+    cross_cache_dtype=None,
+    fast_segments: bool = False,
 ) -> Dict[str, float]:
     """Predict the whole dataset, write the TSV artifact, return metrics."""
     rows: dict = {}
@@ -227,6 +242,10 @@ def run_testing(
             tokens_per_second=tokens_per_second,
             parity_unmasked_cross=parity_unmasked_cross,
             beam_size=beam_size,
+            decode_opts=decode_opts,
+            cache_dtype=cache_dtype,
+            cross_cache_dtype=cross_cache_dtype,
+            fast_segments=fast_segments,
         )
     batch_seconds = []
     tick = start

@@ -154,9 +154,16 @@ def fit(
     if best_step is not None and best_step > start_epoch:
         # best checkpoint from an abandoned future (crash + resume from an
         # older recency checkpoint): epoch numbering will be reused, so the
-        # stale entry must go — the best tracker restarts from the CSV's
-        # surviving (truncated) history.
+        # stale entry must go.
         shutil.rmtree(best_dir, ignore_errors=True)
+        best_step = None
+    if best_step is None:
+        # No checkpoint backs the CSV's historical minimum (fresh run,
+        # stale-best rewind above, or a manually cleared best dir).  Seeding
+        # best_val from the CSV would mean a rerun that only *ties* that
+        # minimum never re-saves and checkpoints_best/ stays empty — so the
+        # tracker re-seeds from the first post-resume epoch instead.
+        best_val = None
 
     rng = jax.random.PRNGKey(seed)
     n_data = int(mesh.shape.get("data", 1))

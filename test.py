@@ -33,6 +33,27 @@ def main() -> None:
     parser.add_argument("--beam", type=int, default=1,
                         help="beam size (1 = greedy; >1 uses beam search — "
                         "fused kernel on TPU when it fits)")
+    parser.add_argument("--length-penalty", type=float, default=0.0,
+                        help="beam: rank final hypotheses by score/len^a "
+                        "(0 = raw scores, reference parity)")
+    parser.add_argument("--repetition-penalty", type=float, default=1.0,
+                        help="beam: CTRL-style demotion of already-emitted "
+                        "tokens (>1 activates; off by default)")
+    parser.add_argument("--no-repeat-ngram", type=int, default=0,
+                        help="beam: hard-ban n-gram repeats inside a "
+                        "hypothesis (n>=2 activates; off by default)")
+    parser.add_argument("--cache-dtype", default=None,
+                        choices=("float32", "bfloat16", "int8"),
+                        help="KV-cache dtype (int8: fused TPU kernel only)")
+    parser.add_argument("--cross-cache-dtype", default=None,
+                        choices=("float32", "bfloat16", "int8"),
+                        help="greedy fused: separate cross-cache dtype")
+    parser.add_argument("--fast-segments", action="store_true",
+                        help="greedy fused: bf16 per-segment vector chain "
+                        "(fastest serving mode)")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve int8-quantized weights (transcribe.py "
+                        "recipe: encoder floats, decode serves int8)")
     parser.add_argument(
         "--platform", default=None, choices=("cpu", "tpu"),
         help="force a JAX backend (default: auto — the TPU when present)",
@@ -92,6 +113,19 @@ def main() -> None:
         else:
             params = model.init(jax.random.PRNGKey(42))
 
+    if args.int8:
+        if family == "conformer":
+            parser.error("--int8 serving is a moonshine decode mode")
+        from telugu_asr_tpu.ops.quant import dequantize_pytree, quantize_pytree
+
+        qparams = quantize_pytree(params)
+        params = dequantize_pytree(qparams)
+        # transcribe.py recipe: encoder computes in float, the decode loop
+        # serves the int8 tree (fused kernel keeps it int8 in VMEM)
+        for key in ("decoder", "text_embedding", "classifier"):
+            params = dict(params)
+            params[key] = qparams[key]
+
     metrics = run_testing(
         model,
         params,
@@ -103,6 +137,14 @@ def main() -> None:
         family=family,
         model_state=model_state,
         beam_size=args.beam,
+        decode_opts={
+            "length_penalty": args.length_penalty,
+            "repetition_penalty": args.repetition_penalty,
+            "no_repeat_ngram": args.no_repeat_ngram,
+        },
+        cache_dtype=args.cache_dtype,
+        cross_cache_dtype=args.cross_cache_dtype,
+        fast_segments=args.fast_segments,
     )
     for key, value in metrics.items():
         print(f"{key}: {value:.4f}" if isinstance(value, float) else f"{key}: {value}")

@@ -245,3 +245,73 @@ def test_epoch_csv_logger_resume_truncation(tmp_path):
     assert lines[0] == "epoch,loss,val_loss"
     assert [l.split(",")[0] for l in lines[1:]] == ["0", "1", "2"]
     assert lines[3] == "2,7.500000,17.500000"
+
+
+def _emitted(row, max_length):
+    """Tokens a hypothesis actually emitted: positions after BOS up to (and
+    excluding) EOS/PAD tail."""
+    out = []
+    for t in row:
+        if t in (EOS, PAD):
+            break
+        out.append(int(t))
+    return out
+
+
+def test_beam_penalties_off_is_identity(model_and_encodings):
+    """Default penalty values must be bit-identical to the pre-penalty path
+    (reference-parity decode is the default)."""
+    model, params, enc_out, enc_mask = model_and_encodings
+    base, s_base = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=10, beam_size=3,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+    )
+    same, s_same = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=10, beam_size=3,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD,
+        repetition_penalty=1.0, no_repeat_ngram=0, length_penalty=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    np.testing.assert_array_equal(np.asarray(s_base), np.asarray(s_same))
+
+
+def test_beam_no_repeat_ngram_property(model_and_encodings):
+    """With no_repeat_ngram=2 the winning hypothesis contains no repeated
+    bigram — a direct property of the hard ban, model-independent."""
+    model, params, enc_out, enc_mask = model_and_encodings
+    tokens, _ = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=16, beam_size=3,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, no_repeat_ngram=2,
+    )
+    for row in np.asarray(tokens):
+        emitted = [BOS] + _emitted(row, 16)
+        bigrams = list(zip(emitted[:-1], emitted[1:]))
+        assert len(bigrams) == len(set(bigrams)), f"repeated bigram in {emitted}"
+
+
+def test_beam_repetition_penalty_extreme_bans_repeats(model_and_encodings):
+    """A huge repetition penalty acts as a hard no-token-twice constraint:
+    every emitted token in the winner is distinct."""
+    model, params, enc_out, enc_mask = model_and_encodings
+    tokens, _ = beam_search_decode(
+        model, params, enc_out, enc_mask, max_length=12, beam_size=3,
+        bos_id=BOS, eos_id=EOS, pad_id=PAD, repetition_penalty=1e4,
+    )
+    for row in np.asarray(tokens):
+        emitted = _emitted(row, 12)
+        assert len(emitted) == len(set(emitted)), f"repeated token in {emitted}"
+
+
+def test_beam_penalty_validation(model_and_encodings):
+    model, params, enc_out, enc_mask = model_and_encodings
+    with pytest.raises(ValueError, match="no_repeat_ngram=1"):
+        beam_search_decode(
+            model, params, enc_out, enc_mask, max_length=8, beam_size=2,
+            bos_id=BOS, eos_id=EOS, pad_id=PAD, no_repeat_ngram=1,
+        )
+    with pytest.raises(ValueError, match="fused"):
+        beam_search_decode(
+            model, params, enc_out, enc_mask, max_length=8, beam_size=2,
+            bos_id=BOS, eos_id=EOS, pad_id=PAD, no_repeat_ngram=3,
+            attention_impl="fused",
+        )

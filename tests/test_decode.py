@@ -167,3 +167,21 @@ def test_staged_decode_matches_plain():
     # identical where the plain decode is within both caps
     p, s = np.asarray(plain), np.asarray(staged)
     np.testing.assert_array_equal(p, s)
+
+
+def test_fast_segments_requires_fused():
+    """fast_segments is a fused-kernel mode; the portable paths refuse it
+    loudly instead of silently decoding at a different precision."""
+    import pytest
+
+    from telugu_asr_tpu.decode.greedy import greedy_decode
+    from telugu_asr_tpu.models.moonshine.model import ASRModel
+    from tests.test_moonshine import tiny_config
+
+    model = ASRModel(tiny_config())
+    params = model.init(jax.random.PRNGKey(0))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 40, 8))
+    enc, mask = model.encode(params, feats, jnp.asarray([40, 30]))
+    with pytest.raises(ValueError, match="fused"):
+        greedy_decode(model, params, enc, mask, max_length=8,
+                      attention_impl="xla", fast_segments=True)

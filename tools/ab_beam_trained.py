@@ -73,7 +73,11 @@ def main() -> None:
     n_frames = featurizer.get_nframes(audio.shape[-1])
     max_len = default_max_length(int(n_frames))
     max_len = ((max_len + 7) // 8) * 8
-    audio_s = audio.shape[-1] / 16000.0
+    # True audio seconds per utterance (padded-capacity seconds would inflate
+    # the absolute rtfx on variable-length batches; the ledger-vs-eager ratio
+    # is unaffected either way).
+    padded_s = audio.shape[-1] / 16000.0
+    true_total_s = float(jnp.sum(lengths)) / 16000.0
 
     @jax.jit
     def decode(params, audio, lengths):
@@ -94,9 +98,11 @@ def main() -> None:
         "mode": "eager" if os.environ.get("TELUGU_BEAM_EAGER") == "1" else "ledger",
         "beam": args.beam,
         "batch": int(audio.shape[0]),
-        "audio_s_per_utt": round(audio_s, 3),
+        "padded_s_per_utt": round(padded_s, 3),
+        "true_audio_s_total": round(true_total_s, 3),
         "median_ms": round(sec * 1e3, 3),
-        "rtfx": round(audio_s * int(audio.shape[0]) / sec, 1),
+        "rtfx": round(true_total_s / sec, 1),
+        "rtfx_padded_capacity": round(padded_s * int(audio.shape[0]) / sec, 1),
         "max_length": max_len,
     }
     print(json.dumps(out))
