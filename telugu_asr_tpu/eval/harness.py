@@ -50,26 +50,53 @@ def _prefetch(iterable, transform, depth: int):
     exceptions re-raise in the consumer."""
     out: "queue.Queue" = queue.Queue(maxsize=depth)
     errors: list = []
+    stop = threading.Event()
 
     def worker() -> None:
         try:
             for item in iterable:
-                out.put(transform(item))
+                data = transform(item)
+                # bounded put that notices consumer abandonment: an early
+                # break upstream (e.g. quick_val_wer's max_batches) must not
+                # leave this thread blocked forever pinning device buffers
+                # and the dataset iterator (observed as a per-epoch host
+                # memory leak under --val-wer-every)
+                while not stop.is_set():
+                    try:
+                        out.put(data, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+                del data
         except BaseException as exc:  # re-raised below, never swallowed
             errors.append(exc)
         finally:
-            out.put(_SENTINEL)
+            try:
+                out.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
 
     thread = threading.Thread(target=worker, name="eval-prefetch", daemon=True)
     thread.start()
-    while True:
-        item = out.get()
-        if item is _SENTINEL:
-            thread.join()
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = out.get()
+            if item is _SENTINEL:
+                thread.join()
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # unblock a waiting put and drop pinned buffers
+            try:
+                out.get_nowait()
+            except queue.Empty:
+                break
+        thread.join(timeout=5.0)
 
 
 def predict_batches(
@@ -303,15 +330,21 @@ def quick_val_wer(
 ) -> Dict[str, float]:
     """Greedy WER/CER over a few validation batches — the per-epoch quality
     signal the reference lacked (it tracked only val_loss, SURVEY §5)."""
+    import contextlib
+
     wer_m = ErrorRate(wer, "val_wer")
     cer_m = ErrorRate(cer, "val_cer")
-    for n, (_, hyps, refs) in enumerate(
+    # closing() shuts the prefetch producer down deterministically at the
+    # early break — without it each epoch's tick leaked the blocked thread
+    # plus its pinned device batches for the life of the training process
+    with contextlib.closing(
         predict_batches(model, params, featurizer, dataset, batch_size)
-    ):
-        wer_m.update_state(hyps, refs)
-        cer_m.update_state(hyps, refs)
-        if n + 1 >= max_batches:
-            break
+    ) as batches:
+        for n, (_, hyps, refs) in enumerate(batches):
+            wer_m.update_state(hyps, refs)
+            cer_m.update_state(hyps, refs)
+            if n + 1 >= max_batches:
+                break
     return {"val_wer": wer_m.result(), "val_cer": cer_m.result()}
 
 

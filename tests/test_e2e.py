@@ -218,3 +218,31 @@ def test_make_optimizer_global_clipnorm():
     updates, _ = opt.update(grads, opt.init(params), params)
     u = np.asarray(updates["w"], np.float64)
     np.testing.assert_allclose(np.sqrt((u ** 2).sum()), 200.0, rtol=1e-5)
+
+
+def test_quick_val_wer_releases_prefetch_thread(corpus, setup):
+    """Early-break eval (max_batches) must shut the prefetch producer down:
+    a blocked producer pins device batches for the life of the process —
+    observed as a per-epoch host-memory leak under --val-wer-every."""
+    import threading
+    import time
+
+    from telugu_asr_tpu.eval.harness import quick_val_wer
+
+    tok, model, feat, _opt = setup
+    ds = ASRDataset(
+        DatasetSpec(data_paths=[corpus], stage="eval"), tok,
+        audio_quantum=8000, text_quantum=4,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    out = quick_val_wer(model, params, feat, ds, batch_size=2, max_batches=1)
+    assert "val_wer" in out
+    deadline = time.time() + 10.0
+    live = []
+    while time.time() < deadline:
+        live = [t for t in threading.enumerate()
+                if t.name == "eval-prefetch" and t.is_alive()]
+        if not live:
+            break
+        time.sleep(0.2)
+    assert not live, f"leaked prefetch threads: {live}"
