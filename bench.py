@@ -393,9 +393,14 @@ def _compiled_flops(jitted, *args) -> float:
         return 0.0
 
 
-DEFAULT_TRAINED_CKPT = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    "data", "synth95k", "run", "checkpoints_best",
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+# Prefer the low-LR fine-tuned model (val 0.068 vs 0.195 — REPORT.md round 5)
+DEFAULT_TRAINED_CKPT = next(
+    (d for d in (
+        os.path.join(_REPO_DIR, "data", "synth95k", "run_ft", "checkpoints_best"),
+        os.path.join(_REPO_DIR, "data", "synth95k", "run", "checkpoints_best"),
+    ) if os.path.isdir(d)),
+    os.path.join(_REPO_DIR, "data", "synth95k", "run", "checkpoints_best"),
 )
 DEFAULT_TRAINED_TSV = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "synth95k", "test.tsv"

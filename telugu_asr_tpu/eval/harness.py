@@ -73,10 +73,15 @@ def _prefetch(iterable, transform, depth: int):
         except BaseException as exc:  # re-raised below, never swallowed
             errors.append(exc)
         finally:
-            try:
-                out.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel must actually LAND: a dropped sentinel (full
+            # queue at producer exit) deadlocks the consumer's final get().
+            # Bounded puts so consumer abandonment still lets us exit.
+            while not stop.is_set():
+                try:
+                    out.put(_SENTINEL, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     thread = threading.Thread(target=worker, name="eval-prefetch", daemon=True)
     thread.start()

@@ -246,3 +246,19 @@ def test_quick_val_wer_releases_prefetch_thread(corpus, setup):
             break
         time.sleep(0.2)
     assert not live, f"leaked prefetch threads: {live}"
+
+
+def test_prefetch_slow_consumer_sees_sentinel():
+    """A consumer slower than the producer leaves the queue full when the
+    source exhausts; the sentinel must still arrive (a dropped sentinel
+    deadlocked the first TPU eval after the abandonment fix)."""
+    import time
+
+    from telugu_asr_tpu.eval.harness import _prefetch
+
+    items = list(range(7))
+    got = []
+    for item in _prefetch(iter(items), transform=lambda x: x, depth=2):
+        time.sleep(0.05)  # slower than the producer
+        got.append(item)
+    assert got == items
