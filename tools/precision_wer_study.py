@@ -39,6 +39,15 @@ MODES = {
     "int8w": (1, {"cache_dtype": "bfloat16"}, True),
     "beam4_f32": (4, {"cache_dtype": "float32"}, False),
     "beam4_bf16": (4, {"cache_dtype": "bfloat16"}, False),
+    # the production operating point (REPORT.md round 5): repetition-penalty
+    # decode — precision deltas measured where serving actually runs
+    "beam4_f32_rp13": (4, {"cache_dtype": "float32",
+                           "decode_opts": {"repetition_penalty": 1.3}}, False),
+    "beam4_bf16_rp13": (4, {"cache_dtype": "bfloat16",
+                            "decode_opts": {"repetition_penalty": 1.3}}, False),
+    "beam4_bf16_rp13_int8w": (4, {"cache_dtype": "bfloat16",
+                                  "decode_opts": {"repetition_penalty": 1.3}},
+                              True),
 }
 
 
