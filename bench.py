@@ -686,6 +686,7 @@ def bench_moonshine_decode(cache_dtype=None, serving: str = "f32",
         # latency-bound, so low values are expected — this tracks drift.
         "mfu_vs_bf16_peak": round(total_flops / total_time / peak, 4)
         if (peak and total_flops) else None,
+        "trained": trained_block,
         "timing": {"trials": trials, "inner": f"auto>={inner} (250ms windows)",
                    "per_trial": "median, min-round-trip-corrected",
                    "per_bucket": "best-of-2-passes, fresh baseline per bucket, "
