@@ -408,14 +408,16 @@ DEFAULT_TRAINED_TSV = os.path.join(
 
 
 def _trained_workload_batches(tsv: str):
-    """Fill the SAME duration caps as the worst-case lane with REAL audio:
-    consecutive test utterances concatenated up to each bucket cap.  Returns
-    ``[(cap_s, count, audio, lengths, true_seconds)]`` — identical shapes to
-    the untrained workload (no recompile) but content a trained model
-    actually transcribes, so EOS early-exit is live.  ``lengths`` hold the
-    true speech samples per row; ``true_seconds`` is their batch total."""
+    """Real serving workload: ONE test utterance per row (the model is
+    utterance-level — trained to emit EOS at end of speech, so concatenated
+    audio would be transcribed only to its first utterance and overstate
+    early-exit), duration-sorted into batches of 64 padded to
+    quantized caps derived from the corpus's own duration mix.  Returns
+    ``[(cap_s, count, audio, lengths, true_seconds)]`` where ``count`` is
+    the number of real batches that share the cap (the bucket's weight in
+    the corpus) and ``true_seconds`` the TRUE speech seconds of the
+    measured batch."""
     import csv
-    import itertools
 
     import jax.numpy as jnp
 
@@ -424,37 +426,29 @@ def _trained_workload_batches(tsv: str):
     with open(tsv, encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="\t")
         next(reader)
-        entries = [(row[0], float(row[1])) for row in reader]
-    entry_cycle = itertools.cycle(entries)
-    wav_cache: dict = {}
-
-    def next_wav():
-        path, _ = next(entry_cycle)
-        if path not in wav_cache:
-            audio, _sr = read_wav_file(path)
-            wav_cache[path] = np.asarray(audio, np.float32)
-        return wav_cache[path]
-
+        entries = sorted(((row[0], float(row[1])) for row in reader),
+                         key=lambda e: e[1])
+    quantum = 0.5  # seconds; bounds compiled shapes like the eval pipeline
+    groups: dict = {}
+    for start in range(0, len(entries) - BATCH + 1, BATCH):
+        chunk = entries[start:start + BATCH]
+        cap_s = -(-max(d for _, d in chunk) // quantum) * quantum
+        # floor: below ~0.85 s the conv front-end emits zero encoder frames
+        cap_s = max(cap_s, 1.0)
+        groups.setdefault(cap_s, []).append(chunk)
     batches = []
-    for seconds, count in WORKLOAD:
-        cap = int(seconds * 16000)
+    for cap_s in sorted(groups):
+        chunk = groups[cap_s][0]  # measure one representative batch per cap
+        cap = int(cap_s * 16000)
         audio = np.zeros((BATCH, cap), np.float32)
         lengths = np.zeros((BATCH,), np.int32)
-        for b in range(BATCH):
-            fill = 0
-            row = []
-            while True:
-                wav = next_wav()
-                if fill + len(wav) > cap and fill > 0:
-                    break
-                row.append(wav[: cap - fill])
-                fill += len(row[-1])
-                if fill >= cap:
-                    break
-            audio[b, :fill] = np.concatenate(row)
-            lengths[b] = fill
+        for b, (path, _d) in enumerate(chunk):
+            wave, _sr = read_wav_file(path)
+            wave = np.asarray(wave, np.float32)[:cap]
+            audio[b, : len(wave)] = wave
+            lengths[b] = len(wave)
         true_seconds = float(lengths.sum()) / 16000.0
-        batches.append((seconds, count, jnp.asarray(audio),
+        batches.append((cap_s, len(groups[cap_s]), jnp.asarray(audio),
                         jnp.asarray(lengths), true_seconds))
     return batches
 
@@ -651,9 +645,11 @@ def bench_moonshine_decode(cache_dtype=None, serving: str = "f32",
             })
         trained_block = {
             "checkpoint": os.path.relpath(ckpt_dir),
-            "workload": "real test audio (consecutive utterances "
-                        "concatenated to each cap), trained weights, EOS "
-                        "early-exit live; rtfx counts TRUE speech seconds",
+            "workload": "one real test utterance per row (utterance-level "
+                        "model), duration-sorted batches of 64 at corpus-"
+                        "derived caps, trained weights, EOS early-exit "
+                        "live; rtfx counts TRUE speech seconds; bucket "
+                        "weight = number of corpus batches at that cap",
             "rtfx": round(t_true / t_total, 2),
             "rtfx_padded_capacity": round(t_cap / t_total, 2),
             "speedup_vs_worst_case": round((t_cap / t_total) / rtfx, 3),

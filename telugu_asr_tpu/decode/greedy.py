@@ -93,6 +93,7 @@ def default_max_length(num_frames: int, frame_step: int = 160, frame_length: int
         "cross_cache_dtype",
         "attention_impl",
         "fast_segments",
+        "repetition_penalty",
     ),
 )
 def greedy_decode(
@@ -113,8 +114,17 @@ def greedy_decode(
     forced_length=None,
     max_new_tokens: Optional[int] = None,
     fast_segments: bool = False,
+    repetition_penalty: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Decode a batch: returns ``(tokens [B, max_length], lengths [B])``.
+
+    ``repetition_penalty`` (CTRL-style, >1.0 activates; XLA path only —
+    auto impl resolution falls back from the fused kernel) demotes
+    already-emitted tokens at every step: log-probs are <=0, so
+    multiplying a seen token's log-prob by the penalty pushes it down
+    while EOS stays untouched.  The decisive exposure-bias mitigation on
+    trained models (greedy WER 0.66 -> see REPORT.md round 5); identical
+    decode when left at 1.0 (the penalty branch is not traced).
 
     ``fast_segments=True`` (fused kernel only) runs the per-segment vector
     chain in bfloat16 — the fastest serving mode; its WER delta vs f32 is
@@ -139,6 +149,13 @@ def greedy_decode(
     ``max_new_tokens`` to bound the continuation.
     """
     cfg = model.cfg.decoder
+    if repetition_penalty != 1.0:
+        if attention_impl == "fused":
+            raise ValueError(
+                "repetition_penalty runs in the XLA decode loop; drop "
+                "attention_impl='fused' (auto picks xla)")
+        if attention_impl in (None, "auto"):
+            attention_impl = "xla"
     if forced_prefix is not None and attention_impl in (None, "auto"):
         attention_impl = "xla"  # prefill lives on the einsum cache layout
     impl = _resolve_attention_impl(attention_impl, cfg)
@@ -322,6 +339,20 @@ def greedy_decode(
                 encoder_mask=cross_mask,
             )
         logits = model.classify(params, dec_out)[:, 0, :]
+        if repetition_penalty != 1.0:
+            # demote every token this row has already produced (the BOS and
+            # any forced prefix count; PAD never does); argmax over the
+            # penalized log-probs — softmax is monotone per row, so the
+            # penalty-off path stays the plain logits argmax bit-for-bit
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            valid = tokens != pad_id
+            seen = (
+                jnp.zeros(logp.shape, bool)
+                .at[jnp.arange(batch)[:, None], jnp.where(valid, tokens, pad_id)]
+                .max(valid)
+            )
+            seen = seen.at[:, pad_id].set(False)
+            logits = jnp.where(seen, logp * repetition_penalty, logp)
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # Finished rows emit PAD from here on.
         next_token = jnp.where(finished, pad_id, next_token)

@@ -140,6 +140,12 @@ def predict_batches(
         raise ValueError("cross_cache_dtype / fast_segments are greedy "
                          "fused-kernel modes; beam search takes cache_dtype "
                          "and decode_opts only")
+    if beam_size == 1:
+        bad = {k: v for k, v in decode_opts.items()
+               if k in ("length_penalty", "no_repeat_ngram") and v}
+        if bad:
+            raise ValueError(f"{sorted(bad)} are beam-search options; greedy "
+                             "decode supports repetition_penalty only")
 
     def to_device(inputs):
         # PCM is inherently 16-bit; ship int16 and rescale on device.
@@ -177,6 +183,8 @@ def predict_batches(
             cache_dtype=cache_dtype,
             cross_cache_dtype=cross_cache_dtype,
             fast_segments=fast_segments,
+            repetition_penalty=float(
+                decode_opts.get("repetition_penalty", 1.0)),
         )
         return tokens
 

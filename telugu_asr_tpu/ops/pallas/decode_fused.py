@@ -764,6 +764,13 @@ def fused_fits(cfg, batch: int, t_enc: int, max_length: int,
     exceed the ~128 MB budget.  With ``cache_dtype=None`` the auto ladder's
     modes (f32/bf16) are checked; pinning a dtype checks that mode's law
     (int8 fits strictly more shapes than either)."""
+    if t_enc < 1 or max_length < 1:
+        # Audio shorter than the conv front-end's receptive field (~0.85 s
+        # at the flagship stride ladder) produces an EMPTY encoder output;
+        # zero-sized cross scratch is a Mosaic "layout too complicated"
+        # compile error, so route such degenerate batches to the XLA path
+        # (which tolerates 0-sized dims).
+        return False
     lp = _round_up(max_length + 1, SEG)
     tc = _round_up(t_enc, SEG)
     b = _round_up(max(batch, 8), 8)

@@ -102,6 +102,7 @@ class StreamingRecognizer:
         decode_params: Optional[dict] = None,
         prefix_trim: int = 4,
         partial_max_new: int = 64,
+        repetition_penalty: float = 1.0,
         prefix_quantum: int = 32,
     ):
         self.model = model
@@ -119,6 +120,9 @@ class StreamingRecognizer:
         self.attention_impl = attention_impl
         self.prefix_trim = int(prefix_trim)
         self.partial_max_new = int(partial_max_new)
+        # CTRL-style exposure-bias mitigation for partials AND finals
+        # (decode/greedy.py; off by default = offline-parity decode)
+        self.repetition_penalty = float(repetition_penalty)
         self.prefix_quantum = int(prefix_quantum)
         # One compiled XLA program per (bucket, prefix-pad, cap) tick shape:
         # featurize -> encode -> (prefill) -> decode in a SINGLE dispatch.
@@ -210,6 +214,7 @@ class StreamingRecognizer:
             eos_id=self.tokenizer.eos_token_id,
             pad_id=self.tokenizer.pad_token_id,
             attention_impl=self.attention_impl,
+            repetition_penalty=self.repetition_penalty,
         )
         if max_new is not None:
             decode_kw["max_new_tokens"] = max_new

@@ -185,3 +185,30 @@ def test_fast_segments_requires_fused():
     with pytest.raises(ValueError, match="fused"):
         greedy_decode(model, params, enc, mask, max_length=8,
                       attention_impl="xla", fast_segments=True)
+
+
+def test_greedy_repetition_penalty():
+    """Penalty off = untouched path; extreme penalty = no token twice;
+    fused-impl request with a penalty is refused loudly."""
+    import pytest
+
+    from telugu_asr_tpu.decode.greedy import greedy_decode
+    from telugu_asr_tpu.models.moonshine.model import ASRModel
+    from tests.test_moonshine import tiny_config
+
+    model = ASRModel(tiny_config())
+    params = model.init(jax.random.PRNGKey(3))
+    feats = jax.random.normal(jax.random.PRNGKey(4), (3, 60, 8))
+    enc, mask = model.encode(params, feats, jnp.asarray([60, 45, 30]))
+    base, _ = greedy_decode(model, params, enc, mask, max_length=12)
+    same, _ = greedy_decode(model, params, enc, mask, max_length=12,
+                            repetition_penalty=1.0)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+    toks, lens = greedy_decode(model, params, enc, mask, max_length=12,
+                               repetition_penalty=1e4)
+    for row, n in zip(np.asarray(toks), np.asarray(lens)):
+        emitted = [t for t in row[:n] if t not in (1, 2)]
+        assert len(emitted) == len(set(emitted)), emitted
+    with pytest.raises(ValueError, match="fused"):
+        greedy_decode(model, params, enc, mask, max_length=8,
+                      attention_impl="fused", repetition_penalty=1.3)

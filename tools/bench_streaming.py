@@ -47,6 +47,9 @@ def main() -> None:
     parser.add_argument("--concat", type=int, default=4,
                         help="consecutive test utterances concatenated per "
                         "stream (longer streams -> more ticks)")
+    parser.add_argument("--repetition-penalty", type=float, default=1.0,
+                        help="CTRL-style decode penalty for partials AND "
+                        "finals (trained models; off = parity decode)")
     args = parser.parse_args()
 
     sys.path.insert(0, ".")
@@ -81,6 +84,7 @@ def main() -> None:
     rec = StreamingRecognizer(
         model, params, featurizer, tokenizer,
         partial_interval=args.partial_interval,
+        repetition_penalty=args.repetition_penalty,
     )
 
     def stream(measure: bool):
