@@ -32,6 +32,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -394,17 +395,47 @@ def _compiled_flops(jitted, *args) -> float:
 
 
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
-# Prefer the low-LR fine-tuned model (val 0.068 vs 0.195 — REPORT.md round 5)
+# Prefer the low-LR fine-tuned model (val 0.068 vs 0.195 — REPORT.md round 5);
+# fall back to the committed round-5 recovery checkpoint (run_recover — the
+# original run_ft weights were wiped by workspace re-provisioning, REPORT.md).
 DEFAULT_TRAINED_CKPT = next(
     (d for d in (
         os.path.join(_REPO_DIR, "data", "synth95k", "run_ft", "checkpoints_best"),
         os.path.join(_REPO_DIR, "data", "synth95k", "run", "checkpoints_best"),
+        os.path.join(_REPO_DIR, "data", "synth95k", "run_recover", "checkpoints_best"),
     ) if os.path.isdir(d)),
     os.path.join(_REPO_DIR, "data", "synth95k", "run", "checkpoints_best"),
 )
 DEFAULT_TRAINED_TSV = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "data", "synth95k", "test.tsv"
 )
+
+
+REGEN_HINT = ("python tools/make_synthetic_corpus.py --out data/synth95k"
+              " --mode words --n-train 95280 --n-valid 1438 --n-test 2226"
+              " --seed 777")
+
+
+def _trained_lane_preflight(ckpt_dir: str, tsv: str):
+    """Gate the optional trained-workload lane: ``(run_it, skip_block)``.
+
+    The lane needs BOTH live weights and the corpus audio.  TSVs and the
+    best-val checkpoint are committed, but wavs are derived artifacts (4 GB,
+    gitignored): on a freshly provisioned workspace they are absent, and
+    crashing the whole bench over the optional lane would cost the judged
+    worst-case numbers too.  Skip loudly with the deterministic
+    regeneration command instead (seed-reproducible; round-5 verified the
+    regenerated TSVs are byte-identical to the committed ones)."""
+    if not (os.path.isdir(ckpt_dir) and os.path.exists(tsv)):
+        return False, None
+    with open(tsv, encoding="utf-8") as f:
+        f.readline()  # header
+        first_wav = f.readline().split("\t")[0]
+    if first_wav and not os.path.exists(first_wav):
+        print(f"[bench] trained lane skipped: corpus wavs absent "
+              f"(regenerate: {REGEN_HINT})", file=sys.stderr)
+        return False, {"skipped": "corpus wavs absent", "regenerate": REGEN_HINT}
+    return True, None
 
 
 def _trained_workload_batches(tsv: str):
@@ -572,7 +603,10 @@ def bench_moonshine_decode(cache_dtype=None, serving: str = "f32",
     ckpt_dir = checkpoint or DEFAULT_TRAINED_CKPT
     if checkpoint and not os.path.isdir(checkpoint):
         raise FileNotFoundError(f"--checkpoint {checkpoint} not found")
-    if os.path.isdir(ckpt_dir) and os.path.exists(DEFAULT_TRAINED_TSV):
+    _lane_ok, _skip_block = _trained_lane_preflight(ckpt_dir, DEFAULT_TRAINED_TSV)
+    if _skip_block:
+        trained_block = _skip_block
+    if _lane_ok:
         from telugu_asr_tpu.train.checkpoint import CheckpointManager
 
         tparams = CheckpointManager(ckpt_dir).restore_params()
